@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is used in this sandbox (``local[N]``: one JVM, N executor
+threads); the config below is equally valid on a multi-executor cluster
+— AQE re-plans shuffles at runtime, Arrow batches feed the
+``applyInPandas`` kernels, and shuffle-partition count should track
+total cores (cores × 2-3 on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "proxyfeatureextraction_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults chosen for the 100 TB design target:
+
+    - AQE on (runtime shuffle coalescing + skew-join splitting),
+    - Arrow on (all Python boundaries are vectorized batches),
+    - UTC session timezone (oracle comparison — DuckDB is UTC-naive),
+    - shuffle partitions sized to cores (local) — a cluster deployment
+      overrides via ``extra_conf`` or ``spark-submit --conf``.
+    """
+    cpus = DEFAULT_CPUS
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] → machine cores
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = cpus if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 200
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

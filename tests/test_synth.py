@@ -1,0 +1,44 @@
+import numpy as np
+import pandas as pd
+
+from proxyfeatureextraction_spark import schema as S
+from proxyfeatureextraction_spark.schema import with_derived
+from proxyfeatureextraction_spark.synth import synth_transcripts_pdf
+
+
+def test_synth_deterministic():
+    a = synth_transcripts_pdf(n_convs=30, seed=42)
+    b = synth_transcripts_pdf(n_convs=30, seed=42)
+    pd.testing.assert_frame_equal(a, b)
+    c = synth_transcripts_pdf(n_convs=30, seed=7)
+    assert not a[S.TS].equals(c[S.TS])
+
+
+def test_synth_boundaries(transcripts_pdf):
+    counts = transcripts_pdf.groupby(S.CONV).size()
+    for b in (19, 20, 21, 49, 50, 51):
+        assert (counts == b).any(), f"missing boundary conv with {b} turns"
+    # heavy hitters
+    assert counts.max() >= 10 * counts.median()
+    # ts non-decreasing within conv when sorted by turn_idx
+    srt = transcripts_pdf.sort_values([S.CONV, S.TURN])
+    for _, g in srt.groupby(S.CONV):
+        assert g[S.TS].is_monotonic_increasing
+    # duplicate timestamps exist somewhere (stable-order tiebreak case)
+    dup = srt.duplicated(subset=[S.CONV, S.TS]).any()
+    assert dup
+    # single-role conversations exist
+    nroles = transcripts_pdf.groupby(S.CONV)[S.ROLE].nunique()
+    assert (nroles == 1).any()
+
+
+def test_with_derived(spark, transcripts_df, transcripts_pdf):
+    out = with_derived(transcripts_df).toPandas()
+    assert set([S.N_CHARS, S.DIR, S.TS_SEC]) <= set(out.columns)
+    assert set(out[S.DIR].unique()) <= {1, -1}
+    # n_chars == len(text)
+    assert (out[S.N_CHARS] == out[S.TEXT].str.len()).all()
+    # ts_sec is relative to folder min
+    g = out.groupby(S.FOLDER)[S.TS_SEC].min()
+    assert np.allclose(g.values, 0.0)
+    assert len(out) == len(transcripts_pdf)
