@@ -1,0 +1,74 @@
+"""Group-aware Arrow batching: the engine's sanctioned Python escape
+hatch for per-conversation kernels.
+
+``df.groupBy(k).applyInPandas(fn)`` pays one Python invocation per
+GROUP. At 10^12 turns / ~3×10^10 conversations that per-group overhead
+(pandas frame construction, dispatch) dominates. Instead we:
+
+1. ``repartition(conv_id)`` + ``sortWithinPartitions(conv_id, turn_idx,
+   ts)`` (one shuffle, canonical order),
+2. ``mapInPandas`` over the sorted partition, stitching Arrow batches
+   so no conversation is split across kernel calls — one Python
+   invocation per ~``maxRecordsPerBatch`` rows, with the kernel free to
+   vectorize across MANY whole conversations at once.
+
+Skew note: a single conversation larger than executor memory cannot be
+order-preserving-split; upstream gates (`first_k`) bound group size for
+every first-K feature family, and `operators.skew` handles the
+algebraic whole-trace aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from proxyfeatureextraction_spark import schema as S
+from proxyfeatureextraction_spark.operators.ordering import canonical
+
+
+def map_whole_groups(
+    df: DataFrame,
+    kernel: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema,
+    key_col: str = S.CONV,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Apply ``kernel(batch_pdf) -> feature_pdf`` over canonical-ordered
+    batches that contain only WHOLE groups.
+
+    The kernel receives a pandas frame holding one or more complete
+    conversations, already sorted by (conv_id, turn_idx, ts), and
+    returns any number of output rows matching ``out_schema``.
+    """
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            keys = pdf[key_col].to_numpy()
+            last = keys[-1]
+            # rows of the final (possibly incomplete) group wait for the
+            # next batch; everything before them is complete. Equal keys
+            # are contiguous (partition is sorted), so the first index
+            # equal to `last` marks the tail group.
+            cut = int((keys == last).argmax())
+            if cut == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            out = kernel(pdf.iloc[:cut])
+            if out is not None and len(out):
+                yield out
+        if carry is not None and len(carry):
+            out = kernel(carry)
+            if out is not None and len(out):
+                yield out
+
+    return canonical(df, partitions).mapInPandas(runner, schema=out_schema)
