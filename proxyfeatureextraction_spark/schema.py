@@ -99,11 +99,16 @@ def with_derived(df: DataFrame, ts_scope: str = FOLDER) -> DataFrame:
     out = df.withColumn(N_CHARS, F.coalesce(F.length(TEXT), F.lit(0))).withColumn(
         DIR, dir_from_role()
     )
-    ts_double = F.col(TS).cast("double")
+    # subtract in integer microseconds BEFORE going to double: a direct
+    # double cast at epoch magnitude only resolves ~2.4e-7 s and the
+    # subtraction amplifies that into feature-level error
+    ts_us = F.unix_micros(F.col(TS))
     if ts_scope is None:
-        origin = df.agg(F.min(ts_double).alias("_t0"))
+        origin = df.agg(F.min(ts_us).alias("_t0"))
         out = out.crossJoin(F.broadcast(origin))
     else:
-        origin = df.groupBy(ts_scope).agg(F.min(ts_double).alias("_t0"))
+        origin = df.groupBy(ts_scope).agg(F.min(ts_us).alias("_t0"))
         out = out.join(F.broadcast(origin), on=ts_scope, how="inner")
-    return out.withColumn(TS_SEC, ts_double - F.col("_t0")).drop("_t0")
+    return out.withColumn(
+        TS_SEC, (ts_us - F.col("_t0")).cast("double") / F.lit(1e6)
+    ).drop("_t0")
