@@ -1,38 +1,1120 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 over the driver's test tables (``events`` plays the
+transcript/turn stream: ``user_id → conv_id``, ``event_type → role``,
+``value → n_chars``); ``oracle_sql()`` carries the DuckDB-equivalent
+ANSI SQL. Column names/aliases match pairwise; floating aggregates are
+rounded to 6 dp on BOTH sides so value hashes compare stably.
+
+The engine itself lives in ``proxyfeatureextraction_spark``; these
+queries re-express its operators on the shared tables so the driver's
+DuckDB differential gate can check them.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# events whose type marks a user-initiated ("outgoing") turn
+OUT_TYPES = ("click", "purchase", "signup")
+_OUT_SQL = "('click','purchase','signup')"
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so this
+        # cast matches DuckDB's naive epoch_us exactly
+        e.withColumn("tsec", F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6))
+        .withColumn(
+            "dir", F.when(F.col("event_type").isin(*OUT_TYPES), F.lit(1)).otherwise(F.lit(-1))
+        )
+    )
+
+
+_EVENTS_CTE = f"""
+WITH ev AS (
+  SELECT *,
+         epoch_us(ts) / 1e6 AS tsec,
+         CASE WHEN event_type IN {_OUT_SQL} THEN 1 ELSE -1 END AS dir
+  FROM events
+)
+"""
+
+def _w():
+    return Window.partitionBy("user_id").orderBy("tsec", "event_id")
+
+
+def _wcum():
+    return _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+_R6 = lambda c, n: F.round(c, 6).alias(n)  # noqa: E731
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries — events stream (operator inventory SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_gate_counts(spark, sf_dir):
+    """P4 min-group-size gate + A1 group size."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _R6(F.sum("value"), "sum_value"))
+        .filter(F.col("n_events") >= 20)
+    )
+
+
+def q_first_k(spark, sf_dir):
+    """P5 first-K per group (first 20 events per user)."""
+    e = _events(spark, sf_dir).withColumn("rn", F.row_number().over(_w()))
+    return (
+        e.filter(F.col("rn") <= 20)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _R6(F.sum("value"), "sum_value_20"),
+            _R6(F.max("tsec"), "last_tsec_20"),
+        )
+    )
+
+
+def q_interarrival(spark, sf_dir):
+    """A6 inter-arrival stats over the first 20 turns, per direction."""
+    e = _events(spark, sf_dir).withColumn("rn", F.row_number().over(_w())).filter("rn <= 20")
+    wd = Window.partitionBy("user_id", "dir").orderBy("tsec", "event_id")
+    d = e.withColumn("delta", F.col("tsec") - F.lag("tsec").over(wd)).filter(
+        F.col("delta").isNotNull()
+    )
+    wt = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    t = (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(_w()))
+        .filter("rn <= 20")
+        .withColumn("delta", F.col("tsec") - F.lag("tsec").over(wt))
+        .filter(F.col("delta").isNotNull())
+    )
+    per_dir = d.groupBy("user_id").agg(
+        _R6(F.max(F.when(F.col("dir") == 1, F.col("delta"))), "max_out"),
+        _R6(F.avg(F.when(F.col("dir") == 1, F.col("delta"))), "avg_out"),
+        _R6(F.stddev_pop(F.when(F.col("dir") == 1, F.col("delta"))), "std_out"),
+        _R6(F.max(F.when(F.col("dir") == -1, F.col("delta"))), "max_in"),
+        _R6(F.avg(F.when(F.col("dir") == -1, F.col("delta"))), "avg_in"),
+        _R6(F.stddev_pop(F.when(F.col("dir") == -1, F.col("delta"))), "std_in"),
+    )
+    total = t.groupBy("user_id").agg(
+        _R6(F.max("delta"), "max_total"),
+        _R6(F.avg("delta"), "avg_total"),
+        _R6(F.stddev_pop("delta"), "std_total"),
+        _R6(F.expr("percentile(delta, 0.75)"), "p75_total"),
+    )
+    return per_dir.join(total, "user_id", "inner")
+
+
+def q_directional_counts(spark, sf_dir):
+    """A8/A14 directional counts + percentages."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("dir") == -1, 1).otherwise(0)).alias("n_in"),
+            F.sum(F.when(F.col("dir") == 1, 1).otherwise(0)).alias("n_out"),
+            F.count(F.lit(1)).alias("n_total"),
+            _R6(F.avg(F.when(F.col("dir") == -1, 1.0).otherwise(0.0)), "perc_in"),
+            _R6(F.avg(F.when(F.col("dir") == 1, 1.0).otherwise(0.0)), "perc_out"),
+        )
+    )
+
+
+def q_first_last_30(spark, sf_dir):
+    """A9 first/last-30 directional counts."""
+    e = _events(spark, sf_dir).withColumn("rn", F.row_number().over(_w()))
+    wdesc = Window.partitionBy("user_id").orderBy(F.desc("tsec"), F.desc("event_id"))
+    e = e.withColumn("rd", F.row_number().over(wdesc))
+    return e.groupBy("user_id").agg(
+        F.sum(F.when((F.col("rn") <= 30) & (F.col("dir") == -1), 1).otherwise(0)).alias("f30_in"),
+        F.sum(F.when((F.col("rn") <= 30) & (F.col("dir") == 1), 1).otherwise(0)).alias("f30_out"),
+        F.sum(F.when((F.col("rd") <= 30) & (F.col("dir") == -1), 1).otherwise(0)).alias("l30_in"),
+        F.sum(F.when((F.col("rd") <= 30) & (F.col("dir") == 1), 1).otherwise(0)).alias("l30_out"),
+    )
+
+
+def q_chunk_concentration(spark, sf_dir):
+    """A10 burst/chunk concentration of outgoing turns per chunk of 20."""
+    e = _events(spark, sf_dir).withColumn("rn", F.row_number().over(_w()))
+    e = e.withColumn("chunk", F.floor((F.col("rn") - 1) / 20))
+    per_chunk = e.groupBy("user_id", "chunk").agg(
+        F.sum(F.when(F.col("dir") == 1, 1).otherwise(0)).alias("c")
+    )
+    return per_chunk.groupBy("user_id").agg(
+        _R6(F.stddev_pop("c"), "std_conc"),
+        _R6(F.avg("c"), "avg_conc"),
+        _R6(F.expr("percentile(c, 0.5)"), "med_conc"),
+        F.min("c").alias("min_conc"),
+        F.max("c").alias("max_conc"),
+    )
+
+
+def q_rate_series(spark, sf_dir):
+    """A11 per-hour rate series stats (dense over observed buckets)."""
+    e = _events(spark, sf_dir).withColumn("hb", F.floor(F.col("tsec") / 3600).cast("long"))
+    per_h = e.groupBy("user_id", "hb").agg(F.count(F.lit(1)).alias("c"))
+    return per_h.groupBy("user_id").agg(
+        _R6(F.avg("c"), "avg_per_hour"),
+        _R6(F.stddev_pop("c"), "std_per_hour"),
+        _R6(F.expr("percentile(c, 0.5)"), "med_per_hour"),
+        F.min("c").alias("min_per_hour"),
+        F.max("c").alias("max_per_hour"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+def q_prefix_cumsum(spark, sf_dir):
+    """W3 prefix cumulative sum (row-level, point-in-time safe)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "user_id", "event_id", _R6(F.sum("value").over(_wcum()), "cum_value")
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    """W4 lag delta + W6-style lead (lead = explicitly leaky column)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "user_id",
+        "event_id",
+        _R6(F.col("tsec") - F.lag("tsec", 1).over(_w()), "delta_prev"),
+        F.lead("event_type", 1).over(_w()).alias("lead_type"),
+    )
+
+
+def q_backfill(spark, sf_dir):
+    """Backfill: carry the last signup value forward per user."""
+    e = _events(spark, sf_dir).withColumn(
+        "sv", F.when(F.col("event_type") == "signup", F.col("value"))
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        _R6(F.last("sv", ignorenulls=True).over(_wcum()), "last_signup_value"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """W8 gap-based sessionize (>1h) + per-session aggregates."""
+    e = _events(spark, sf_dir)
+    gap = F.col("tsec") - F.lag("tsec", 1).over(_w())
+    e = e.withColumn(
+        "session_id", F.sum(F.when(gap > 3600.0, 1).otherwise(0)).over(_wcum())
+    )
+    return e.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _R6(F.min("tsec"), "start_tsec"),
+        _R6(F.max("tsec"), "end_tsec"),
+        _R6(F.sum("value"), "sum_value"),
+    )
+
+
+def q_tumbling_global(spark, sf_dir):
+    """A4 global tumbling 1h window aggregate."""
+    e = _events(spark, sf_dir).withColumn("hb", F.floor(F.col("tsec") / 3600).cast("long"))
+    return e.groupBy("hb").agg(
+        F.count(F.lit(1)).alias("n"), _R6(F.sum("value"), "sum_value")
+    )
+
+
+def q_tumbling_keyed(spark, sf_dir):
+    """A3 keyed tumbling window aggregate."""
+    e = _events(spark, sf_dir).withColumn("hb", F.floor(F.col("tsec") / 3600).cast("long"))
+    return e.groupBy("user_id", "hb").agg(
+        F.count(F.lit(1)).alias("n"), _R6(F.sum("value"), "sum_value")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """J5 backward as-of: each purchase ← latest signup of same user."""
+    from proxyfeatureextraction_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "tsec"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("tsec").alias("ts_r"), F.col("value").alias("signup_value")
+    )
+    out = asof_join(
+        purchases,
+        signups.withColumnRenamed("ts_r", "tsec"),
+        ts_col="tsec",
+        by=["user_id"],
+        value_cols=["signup_value"],
+    )
+    return out.select(
+        "user_id", "event_id", _R6(F.col("signup_value_asof"), "signup_value_asof")
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    """J4 interval/range join: events inside each user's first-24h span."""
+    from proxyfeatureextraction_spark.operators.asof import interval_join
+
+    e = _events(spark, sf_dir)
+    spans = e.groupBy("user_id").agg(F.min("tsec").alias("lo")).withColumn(
+        "hi", F.col("lo") + F.lit(86400.0)
+    )
+    pts = e.select(F.col("tsec").alias("pt"), F.col("value").alias("pv"))
+    joined = interval_join(
+        spans, pts, point_ts="pt", span_start="lo", span_end="hi",
+        bucket_seconds=86400.0,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_in_span"), _R6(F.sum("pv"), "sum_in_span")
+    )
+
+
+def q_semi_anti(spark, sf_dir):
+    """J3 semi/anti join: per-user event counts, keeping only users with
+    ≥1 purchase and no 'error' events (semi + anti)."""
+    e = _events(spark, sf_dir)
+    buyers = e.filter("event_type = 'purchase' AND value > 300").select("user_id").distinct()
+    erroring = e.filter("event_type = 'error' AND value > 330").select("user_id").distinct()
+    base = e.join(buyers, "user_id", "left_semi").join(erroring, "user_id", "left_anti")
+    return base.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def q_outer_align_zproduct(spark, sf_dir):
+    """J2+A5: full-outer align hourly click vs error series, zero-fill,
+    z-score product, global stats (the corr-feature shape)."""
+    e = _events(spark, sf_dir).withColumn("hb", F.floor(F.col("tsec") / 3600).cast("long"))
+    clicks = e.filter("event_type = 'click'").groupBy("hb").agg(F.sum("value").alias("a"))
+    errors = e.filter("event_type = 'error'").groupBy("hb").agg(F.sum("value").alias("b"))
+    m = (
+        clicks.join(errors, "hb", "full_outer")
+        .withColumn("a", F.coalesce("a", F.lit(0.0)))
+        .withColumn("b", F.coalesce("b", F.lit(0.0)))
+    )
+    w = Window.partitionBy()
+    za = (F.col("a") - F.avg("a").over(w)) / (F.stddev_pop("a").over(w) + F.lit(1e-9))
+    zb = (F.col("b") - F.avg("b").over(w)) / (F.stddev_pop("b").over(w) + F.lit(1e-9))
+    z = m.select((za * zb).alias("z"))
+    return z.agg(
+        F.count("z").alias("corr_count"),
+        _R6(F.sum("z"), "corr_sum"),
+        _R6(F.avg("z"), "corr_mean"),
+        _R6(F.expr("percentile(z, 0.5)"), "corr_median"),
+        _R6(F.min("z"), "corr_minimum"),
+        _R6(F.max("z"), "corr_maximum"),
+        _R6(F.var_pop("z"), "corr_variance"),
+        _R6(F.stddev_pop("z"), "corr_std_dev"),
+    )
+
+
+def q_rtt_pattern(spark, sf_dir):
+    """W6/A21 direction-reversal triplet scan → RTT ratio per user."""
+    e = _events(spark, sf_dir)
+    d = (
+        e.withColumn("d1", F.lead("dir", 1).over(_w()))
+        .withColumn("d2", F.lead("dir", 2).over(_w()))
+        .withColumn("t1", F.lead("tsec", 1).over(_w()))
+        .withColumn("t2", F.lead("tsec", 2).over(_w()))
+        .filter((F.col("d1") == -F.col("dir")) & (F.col("d2") == -F.col("dir")))
+        .withColumn("k", F.row_number().over(_w()))
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("ntrip"),
+        F.max(F.when(F.col("k") == 1, F.col("t1") - F.col("tsec"))).alias("d1v"),
+        F.max(F.when(F.col("k") == 2, F.col("t2") - F.col("tsec"))).alias("d2v"),
+    )
+    return (
+        agg.filter((F.col("ntrip") >= 2) & (F.col("d2v") != 0))
+        .select("user_id", _R6(F.col("d1v") / F.col("d2v"), "rtt_ratio"))
+    )
+
+
+def q_rolling_window(spark, sf_dir):
+    """Rolling aggregate: mean value over the 5 preceding + current rows."""
+    e = _events(spark, sf_dir)
+    wroll = _w().rowsBetween(-5, 0)
+    return e.select(
+        "user_id", "event_id", _R6(F.avg("value").over(wroll), "roll_avg_6")
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 events by value per user (sorts/limits §2.6)."""
+    e = _events(spark, sf_dir)
+    wtop = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(wtop))
+        .filter("rk <= 3")
+        .select("user_id", "event_id", _R6(F.col("value"), "value"), "rk")
+    )
+
+
+def q_group_span(spark, sf_dir):
+    """A2 per-group min/max/duration."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        _R6(F.min("tsec"), "first_tsec"),
+        _R6(F.max("tsec"), "last_tsec"),
+        _R6(F.max("tsec") - F.min("tsec"), "duration"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    """A20 distinct keys per event type."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+def q_union_sources(spark, sf_dir):
+    """§2.7 UNION ALL of two filtered scans + S3 source-discriminator."""
+    e = _events(spark, sf_dir)
+    a = e.filter("event_type = 'click'").select("user_id", "event_id").withColumn(
+        "src", F.lit("clicks")
+    )
+    b = e.filter("value > 300").select("user_id", "event_id").withColumn(
+        "src", F.lit("big")
+    )
+    return a.unionByName(b).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+
+
+# ---------------------------------------------------------------------------
+# queries — relational core (TPC-H-style) over lineitem/orders/customer
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Classic scan→filter→groupBy agg (pushdown + partial aggregation)."""
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _R6(F.sum("l_quantity"), "sum_qty"),
+        _R6(F.sum("l_extendedprice"), "sum_base_price"),
+        _R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "sum_disc_price"),
+        _R6(F.avg("l_quantity"), "avg_qty"),
+        _R6(F.avg("l_extendedprice"), "avg_price"),
+        _R6(F.avg("l_discount"), "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_join_revenue(spark, sf_dir):
+    """J1/J6 multi-table equi-join chain with broadcastable dims:
+    revenue per nation (lineitem ⋈ orders ⋈ customer ⋈ nation)."""
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    n = _table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return rev.groupBy("n_name").agg(
+        _R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash-groupBy: survivors = min doc_id per
+    text; reports corpus-level dedup stats."""
+    d = _table(spark, sf_dir, "documents")
+    groups = d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("copies").alias("n_docs"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.col("copies") - 1).alias("n_removed"),
+    )
+
+
+def _doc_words(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).filter(F.length("w") > 0)
+    return w
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """N-gram (word-set) Jaccard near-dup pairs ≥ 0.8 — the
+    oracle-checkable baseline; minhash-LSH below is the scale path."""
+    w = _doc_words(spark, sf_dir)
+    sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    a = w.alias("a")
+    b = w.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return j.select("doc_a", "doc_b", _R6(F.col("jaccard"), "jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
+    join). Deterministic xxhash64 signatures — no SQL oracle (DuckDB
+    lacks the hash family); rows-only check."""
+    NPERM, BANDS = 16, 4  # 4 rows per band
+    w = _doc_words(spark, sf_dir)
+    mh = w.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"h{i}")
+            for i in range(NPERM)
+        ]
+    )
+    rows_per_band = NPERM // BANDS
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return cand
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash buckets: 16-bit simhash over word hashes; docs sharing a
+    bucket are near-dup candidates. rows-only check."""
+    BITS = 16
+    w = _doc_words(spark, sf_dir)
+    bits = w.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.xxhash64("w"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(BITS)
+        ],
+    )
+    sums = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(BITS)]
+    )
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(BITS)
+            ]
+        ).alias("simhash"),
+    )
+    return sim.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+
+
+def _cosine_pairs(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor"),
+            (dot / (norm("a") * norm("b"))).alias("cos"),
+        )
+    )
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors per embedding (ANN baseline).
+    Ties broken on rounded cosine + neighbor id so both engines agree."""
+    pairs = _cosine_pairs(spark, sf_dir).withColumn("cos_r", F.round("cos", 6))
+    wtop = Window.partitionBy("vec_id").orderBy(F.desc("cos_r"), F.asc("neighbor"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(wtop))
+        .filter("rk <= 5")
+        .select("vec_id", "neighbor", F.col("cos_r").alias("cosine"), "rk")
+    )
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs above threshold."""
+    pairs = _cosine_pairs(spark, sf_dir).filter(
+        (F.col("vec_id") < F.col("neighbor")) & (F.col("cos") > 0.4)
+    )
+    return pairs.select(
+        F.col("vec_id").alias("vec_a"), F.col("neighbor").alias("vec_b"),
+        _R6(F.col("cos"), "cosine"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_STOP_SQL = "('the','a','and','of','to','in')"
+
+
+def q_text_quality(spark, sf_dir):
+    """Text quality scoring: token count, avg token length, stopword
+    ratio, uppercase ratio."""
+    d = _table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    nt = F.size(toks)
+    d = d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        _R6(
+            F.aggregate(toks, F.lit(0.0), lambda acc, w: acc + F.length(w))
+            / F.greatest(nt.cast("double"), F.lit(1.0)),
+            "avg_token_len",
+        ),
+        _R6(
+            F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+            / F.greatest(nt.cast("double"), F.lit(1.0)),
+            "stopword_ratio",
+        ),
+        _R6(
+            (F.length("text") - F.length(F.lower("text"))).cast("double") * 0
+            + F.size(F.filter(toks, lambda w: F.length(w) >= 8))
+            / F.greatest(nt.cast("double"), F.lit(1.0)),
+            "long_token_ratio",
+        ),
+    )
+    return d
+
+
+def q_token_count_regex(spark, sf_dir):
+    """BPE-ish regex token counting ([a-z]+ | digits | other symbol)."""
+    d = _table(spark, sf_dir, "documents")
+    pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_q"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-overlap language-ID heuristic (en vs es marker sets)."""
+    d = _table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    en = F.size(F.filter(toks, lambda w: w.isin("the", "and", "of", "a")))
+    es = F.size(F.filter(toks, lambda w: w.isin("el", "la", "de", "y")))
+    nt = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    return d.select(
+        "doc_id",
+        _R6(en / nt, "en_score"),
+        _R6(es / nt, "es_score"),
+        F.when(en >= es, "en").otherwise("es").alias("lang_guess"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint: positional polynomial over
+    (token index, token length, first-char code) mod 1e9+7."""
+    d = _table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    terms = F.transform(
+        toks,
+        lambda w, i: ((i + 1) * (F.length(w).cast("long") * 131 + F.ascii(w))) % F.lit(1000000007),
+    )
+    return d.select(
+        "doc_id",
+        (F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x) % F.lit(1000000007)).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def q_multimodal_bytes(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + typed
+    metadata (decode itself is stubbed — see
+    proxyfeatureextraction_spark.functions.multimodal)."""
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).alias("payload_bytes"),
+        F.length("text").alias("n_chars_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time per-(user, turn) feature frame on
+    sf0.001 — backfilled lag features + session ids + rolling stats,
+    every window frame ≤ currentRow."""
+    sf = "/root/testdata/sf0.001"
+    e = _events(spark, sf)
+    gap = F.col("tsec") - F.lag("tsec", 1).over(_w())
+    wroll = _w().rowsBetween(-9, 0)
+    out = (
+        e.withColumn("delta_prev", gap)
+        .withColumn("session_id", F.sum(F.when(gap > 3600.0, 1).otherwise(0)).over(_wcum()))
+        .withColumn("cum_value", F.sum("value").over(_wcum()))
+        .withColumn("roll_avg_10", F.avg("value").over(wroll))
+        .withColumn(
+            "last_signup_value",
+            F.last(
+                F.when(F.col("event_type") == "signup", F.col("value")), ignorenulls=True
+            ).over(_wcum()),
+        )
+        .select(
+            "user_id", "event_id", "tsec", "dir", "delta_prev", "session_id",
+            "cum_value", "roll_avg_10", "last_signup_value",
+        )
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "gate_counts": q_gate_counts,
+        "first_k": q_first_k,
+        "interarrival": q_interarrival,
+        "directional_counts": q_directional_counts,
+        "first_last_30": q_first_last_30,
+        "chunk_concentration": q_chunk_concentration,
+        "rate_series": q_rate_series,
+        "prefix_cumsum": q_prefix_cumsum,
+        "lag_lead": q_lag_lead,
+        "backfill": q_backfill,
+        "sessionize": q_sessionize,
+        "tumbling_global": q_tumbling_global,
+        "tumbling_keyed": q_tumbling_keyed,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "semi_anti": q_semi_anti,
+        "outer_align_zproduct": q_outer_align_zproduct,
+        "rtt_pattern": q_rtt_pattern,
+        "rolling_window": q_rolling_window,
+        "topk_per_group": q_topk_per_group,
+        "group_span": q_group_span,
+        "distinct_users": q_distinct_users,
+        "union_sources": q_union_sources,
+        "tpch_q1": q_tpch_q1,
+        "join_revenue": q_join_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk": q_similarity_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "text_quality": q_text_quality,
+        "token_count_regex": q_token_count_regex,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_bytes": q_multimodal_bytes,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "gate_counts": _EVENTS_CTE
+        + """
+        SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM ev GROUP BY user_id HAVING count(*) >= 20
+        """,
+        "first_k": _EVENTS_CTE
+        + """
+        , r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn FROM ev)
+        SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value_20,
+               round(max(tsec), 6) AS last_tsec_20
+        FROM r WHERE rn <= 20 GROUP BY user_id
+        """,
+        "interarrival": _EVENTS_CTE
+        + """
+        , r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn FROM ev),
+        f AS (SELECT * FROM r WHERE rn <= 20),
+        d AS (SELECT user_id, dir,
+                     tsec - lag(tsec) OVER (PARTITION BY user_id, dir ORDER BY tsec, event_id) AS delta
+              FROM f),
+        t AS (SELECT user_id,
+                     tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS delta
+              FROM f),
+        pd AS (SELECT user_id,
+                      round(max(CASE WHEN dir = 1 THEN delta END), 6)        AS max_out,
+                      round(avg(CASE WHEN dir = 1 THEN delta END), 6)        AS avg_out,
+                      round(stddev_pop(CASE WHEN dir = 1 THEN delta END), 6) AS std_out,
+                      round(max(CASE WHEN dir = -1 THEN delta END), 6)        AS max_in,
+                      round(avg(CASE WHEN dir = -1 THEN delta END), 6)        AS avg_in,
+                      round(stddev_pop(CASE WHEN dir = -1 THEN delta END), 6) AS std_in
+               FROM d WHERE delta IS NOT NULL GROUP BY user_id),
+        tt AS (SELECT user_id,
+                      round(max(delta), 6) AS max_total,
+                      round(avg(delta), 6) AS avg_total,
+                      round(stddev_pop(delta), 6) AS std_total,
+                      round(quantile_cont(delta, 0.75), 6) AS p75_total
+               FROM t WHERE delta IS NOT NULL GROUP BY user_id)
+        SELECT pd.*, tt.max_total, tt.avg_total, tt.std_total, tt.p75_total
+        FROM pd JOIN tt USING (user_id)
+        """,
+        "directional_counts": _EVENTS_CTE
+        + """
+        SELECT user_id,
+               sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS n_in,
+               sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS n_out,
+               count(*) AS n_total,
+               round(avg(CASE WHEN dir = -1 THEN 1.0 ELSE 0.0 END), 6) AS perc_in,
+               round(avg(CASE WHEN dir = 1 THEN 1.0 ELSE 0.0 END), 6) AS perc_out
+        FROM ev GROUP BY user_id
+        """,
+        "first_last_30": _EVENTS_CTE
+        + """
+        , r AS (SELECT *,
+                       row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn,
+                       row_number() OVER (PARTITION BY user_id ORDER BY tsec DESC, event_id DESC) AS rd
+                FROM ev)
+        SELECT user_id,
+               sum(CASE WHEN rn <= 30 AND dir = -1 THEN 1 ELSE 0 END) AS f30_in,
+               sum(CASE WHEN rn <= 30 AND dir = 1 THEN 1 ELSE 0 END) AS f30_out,
+               sum(CASE WHEN rd <= 30 AND dir = -1 THEN 1 ELSE 0 END) AS l30_in,
+               sum(CASE WHEN rd <= 30 AND dir = 1 THEN 1 ELSE 0 END) AS l30_out
+        FROM r GROUP BY user_id
+        """,
+        "chunk_concentration": _EVENTS_CTE
+        + """
+        , r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn FROM ev),
+        pc AS (SELECT user_id, CAST(floor((rn - 1) / 20) AS BIGINT) AS chunk,
+                      sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS c
+               FROM r GROUP BY user_id, chunk)
+        SELECT user_id,
+               round(stddev_pop(c), 6) AS std_conc,
+               round(avg(c), 6) AS avg_conc,
+               round(quantile_cont(c, 0.5), 6) AS med_conc,
+               min(c) AS min_conc, max(c) AS max_conc
+        FROM pc GROUP BY user_id
+        """,
+        "rate_series": _EVENTS_CTE
+        + """
+        , ph AS (SELECT user_id, CAST(floor(tsec / 3600) AS BIGINT) AS hb, count(*) AS c
+                 FROM ev GROUP BY user_id, hb)
+        SELECT user_id,
+               round(avg(c), 6) AS avg_per_hour,
+               round(stddev_pop(c), 6) AS std_per_hour,
+               round(quantile_cont(c, 0.5), 6) AS med_per_hour,
+               min(c) AS min_per_hour, max(c) AS max_per_hour,
+               count(*) AS n_buckets
+        FROM ph GROUP BY user_id
+        """,
+        "prefix_cumsum": _EVENTS_CTE
+        + """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+        FROM ev
+        """,
+        "lag_lead": _EVENTS_CTE
+        + """
+        SELECT user_id, event_id,
+               round(tsec - lag(tsec, 1) OVER (PARTITION BY user_id ORDER BY tsec, event_id), 6) AS delta_prev,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS lead_type
+        FROM ev
+        """,
+        "backfill": _EVENTS_CTE
+        + """
+        SELECT user_id, event_id,
+               round(last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_signup_value
+        FROM ev
+        """,
+        "sessionize": _EVENTS_CTE
+        + """
+        , g AS (SELECT *, tsec - lag(tsec, 1) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap FROM ev),
+        s AS (SELECT *, sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g)
+        SELECT user_id, session_id, count(*) AS n,
+               round(min(tsec), 6) AS start_tsec, round(max(tsec), 6) AS end_tsec,
+               round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, session_id
+        """,
+        "tumbling_global": _EVENTS_CTE
+        + """
+        SELECT CAST(floor(tsec / 3600) AS BIGINT) AS hb, count(*) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM ev GROUP BY hb
+        """,
+        "tumbling_keyed": _EVENTS_CTE
+        + """
+        SELECT user_id, CAST(floor(tsec / 3600) AS BIGINT) AS hb, count(*) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM ev GROUP BY user_id, hb
+        """,
+        "asof_join": _EVENTS_CTE
+        + """
+        , p AS (SELECT user_id, event_id, tsec FROM ev WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, tsec, value AS signup_value FROM ev WHERE event_type = 'signup')
+        SELECT p.user_id, p.event_id, round(s.signup_value, 6) AS signup_value_asof
+        FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.tsec >= s.tsec
+        """,
+        "interval_join": _EVENTS_CTE
+        + """
+        , spans AS (SELECT user_id, min(tsec) AS lo, min(tsec) + 86400.0 AS hi FROM ev GROUP BY user_id),
+        pts AS (SELECT tsec AS pt, value AS pv FROM ev)
+        SELECT spans.user_id, count(*) AS n_in_span, round(sum(pv), 6) AS sum_in_span
+        FROM spans JOIN pts ON pt >= lo AND pt <= hi
+        GROUP BY spans.user_id
+        """,
+        "semi_anti": _EVENTS_CTE
+        + """
+        SELECT user_id, count(*) AS n_events FROM ev e
+        WHERE EXISTS (SELECT 1 FROM ev b WHERE b.user_id = e.user_id
+                      AND b.event_type = 'purchase' AND b.value > 300)
+          AND NOT EXISTS (SELECT 1 FROM ev x WHERE x.user_id = e.user_id
+                          AND x.event_type = 'error' AND x.value > 330)
+        GROUP BY user_id
+        """,
+        "outer_align_zproduct": _EVENTS_CTE
+        + """
+        , c AS (SELECT CAST(floor(tsec / 3600) AS BIGINT) AS hb, sum(value) AS a
+                FROM ev WHERE event_type = 'click' GROUP BY hb),
+        er AS (SELECT CAST(floor(tsec / 3600) AS BIGINT) AS hb, sum(value) AS b
+               FROM ev WHERE event_type = 'error' GROUP BY hb),
+        m AS (SELECT coalesce(c.a, 0.0) AS a, coalesce(er.b, 0.0) AS b
+              FROM c FULL OUTER JOIN er USING (hb)),
+        z AS (SELECT ((a - avg(a) OVER ()) / (stddev_pop(a) OVER () + 1e-9))
+                   * ((b - avg(b) OVER ()) / (stddev_pop(b) OVER () + 1e-9)) AS z
+              FROM m)
+        SELECT count(z) AS corr_count, round(sum(z), 6) AS corr_sum,
+               round(avg(z), 6) AS corr_mean, round(quantile_cont(z, 0.5), 6) AS corr_median,
+               round(min(z), 6) AS corr_minimum, round(max(z), 6) AS corr_maximum,
+               round(var_pop(z), 6) AS corr_variance, round(stddev_pop(z), 6) AS corr_std_dev
+        FROM z
+        """,
+        "rtt_pattern": _EVENTS_CTE
+        + """
+        , l AS (SELECT user_id, tsec, dir,
+                       lead(dir, 1) OVER w AS d1, lead(dir, 2) OVER w AS d2,
+                       lead(tsec, 1) OVER w AS t1, lead(tsec, 2) OVER w AS t2
+                FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec) AS k
+              FROM l WHERE d1 = -dir AND d2 = -dir),
+        a AS (SELECT user_id, count(*) AS ntrip,
+                     max(CASE WHEN k = 1 THEN t1 - tsec END) AS d1v,
+                     max(CASE WHEN k = 2 THEN t2 - tsec END) AS d2v
+              FROM f GROUP BY user_id)
+        SELECT user_id, round(d1v / d2v, 6) AS rtt_ratio
+        FROM a WHERE ntrip >= 2 AND d2v <> 0
+        """,
+        "rolling_window": _EVENTS_CTE
+        + """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS roll_avg_6
+        FROM ev
+        """,
+        "topk_per_group": _EVENTS_CTE
+        + """
+        , r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk FROM ev)
+        SELECT user_id, event_id, round(value, 6) AS value, rk FROM r WHERE rk <= 3
+        """,
+        "group_span": _EVENTS_CTE
+        + """
+        SELECT user_id, round(min(tsec), 6) AS first_tsec, round(max(tsec), 6) AS last_tsec,
+               round(max(tsec) - min(tsec), 6) AS duration, count(*) AS n
+        FROM ev GROUP BY user_id
+        """,
+        "distinct_users": _EVENTS_CTE
+        + """
+        SELECT event_type, count(DISTINCT user_id) AS n_users FROM ev GROUP BY event_type
+        """,
+        "union_sources": _EVENTS_CTE
+        + """
+        , u AS (
+          SELECT user_id, event_id, 'clicks' AS src FROM ev WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, event_id, 'big' AS src FROM ev WHERE value > 300
+        )
+        SELECT src, count(*) AS n FROM u GROUP BY src
+        """,
+        "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 6) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        "dedup_exact": """
+        WITH g AS (SELECT text, min(doc_id) AS keep_id, count(*) AS copies
+                   FROM documents GROUP BY text)
+        SELECT count(*) AS n_unique, sum(copies) AS n_docs,
+               sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+               sum(copies - 1) AS n_removed
+        FROM g
+        """,
+        "dedup_jaccard": """
+        WITH w AS (
+          SELECT doc_id, w FROM documents,
+                 UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
+          WHERE length(w) > 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+          FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(ninter * 1.0 / (sa.nw + sb.nw - ninter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ninter * 1.0 / (sa.nw + sb.nw - ninter) >= 0.8
+        """,
+        "similarity_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+                 round(
+                   list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_r
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_r DESC, neighbor ASC) AS rk
+              FROM p)
+        SELECT vec_id, neighbor, cos_r AS cosine, rk FROM r WHERE rk <= 5
+        """,
+        "embedding_dup_pairs": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM p WHERE cos > 0.4
+        """,
+        "text_quality": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(list_sum(list_transform(toks, w -> length(w) * 1.0))
+                     / greatest(len(toks), 1), 6) AS avg_token_len,
+               round(len(list_filter(toks, w -> w IN {_STOP_SQL})) * 1.0
+                     / greatest(len(toks), 1), 6) AS stopword_ratio,
+               round(len(list_filter(toks, w -> length(w) >= 8)) * 1.0
+                     / greatest(len(toks), 1), 6) AS long_token_ratio
+        FROM t
+        """,
+        "token_count_regex": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+               length(text) AS n_chars_q
+        FROM documents
+        """,
+        "lang_id": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               round(len(list_filter(toks, w -> w IN ('the','and','of','a'))) * 1.0
+                     / greatest(len(toks), 1), 6) AS en_score,
+               round(len(list_filter(toks, w -> w IN ('el','la','de','y'))) * 1.0
+                     / greatest(len(toks), 1), 6) AS es_score,
+               CASE WHEN len(list_filter(toks, w -> w IN ('the','and','of','a')))
+                         >= len(list_filter(toks, w -> w IN ('el','la','de','y')))
+                    THEN 'en' ELSE 'es' END AS lang_guess
+        FROM t
+        """,
+        "doc_fingerprint": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(list_sum(list_transform(toks,
+                    (w, i) -> (i * ((length(w) * 131 + ascii(w)) % 1000000007)) % 1000000007))
+                    % 1000000007 AS BIGINT) AS fingerprint
+        FROM t
+        """,
+        "multimodal_bytes": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS payload_bytes,
+               length(text) AS n_chars_q
+        FROM documents
+        """,
+    }

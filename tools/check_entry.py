@@ -1,0 +1,107 @@
+"""Local simulation of the driver's DuckDB correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry against its
+``oracle_sql()`` twin on the same parquet tables and compares
+row count, column set, and order-insensitive values.
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"row count {len(spark_pdf)} != {len(duck_pdf)}")
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        errs.append(f"columns {scols} != {dcols}")
+        return errs
+    a = spark_pdf[scols].sort_values(scols, kind="stable").reset_index(drop=True)
+    b = duck_pdf[scols].sort_values(scols, kind="stable").reset_index(drop=True)
+    if len(a) != len(b):
+        return errs
+    for c in scols:
+        x, y = a[c], b[c]
+        if pd.api.types.is_numeric_dtype(x) and pd.api.types.is_numeric_dtype(y):
+            ok = np.allclose(
+                x.astype(float), y.astype(float), atol=1e-9, rtol=1e-9, equal_nan=True
+            )
+        else:
+            ok = x.astype(str).fillna("∅").tolist() == y.astype(str).fillna("∅").tolist()
+        if not ok:
+            mism = (
+                (~np.isclose(x.astype(float), y.astype(float), atol=1e-9, equal_nan=True)).sum()
+                if pd.api.types.is_numeric_dtype(x)
+                else "?"
+            )
+            errs.append(f"values differ in column {c} ({mism} rows)")
+    return errs
+
+
+def run(sf_dir: str, only: list[str] | None = None, spark=None) -> dict[str, list[str]]:
+    import __spark_entry__ as E
+
+    if spark is None:
+        from proxyfeatureextraction_spark import get_spark
+
+        spark = get_spark("check-entry", master="local[4]", shuffle_partitions=4)
+    con = duck_conn(sf_dir)
+    qs, oracles = E.queries(), E.oracle_sql()
+    results: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            results[name] = [f"spark error: {exc}"]
+            continue
+        if name not in oracles:
+            results[name] = [] if len(spark_pdf) >= 0 else ["no rows"]
+            print(f"{name:26s} rows-only ({len(spark_pdf)} rows)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            results[name] = [f"duckdb error: {exc}"]
+            continue
+        errs = compare_frames(name, spark_pdf, duck_pdf)
+        results[name] = errs
+        status = "OK " if not errs else "FAIL"
+        print(f"{name:26s} {status} ({len(spark_pdf)} rows)" + ("; ".join(errs) if errs else ""))
+    return results
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+    res = run(sf, only)
+    bad = {k: v for k, v in res.items() if v}
+    if bad:
+        print(f"\nFAILED: {sorted(bad)}")
+        sys.exit(1)
+    print(f"\nall {len(res)} queries OK")
