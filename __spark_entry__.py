@@ -460,99 +460,30 @@ def _doc_words(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    """N-gram (word-set) Jaccard near-dup pairs ≥ 0.8 — the
-    oracle-checkable baseline; minhash-LSH below is the scale path."""
-    w = _doc_words(spark, sf_dir)
-    sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    a = w.alias("a")
-    b = w.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("ninter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nb"))
-    j = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")))
-        .filter(F.col("jaccard") >= 0.8)
-    )
-    return j.select("doc_a", "doc_b", _R6(F.col("jaccard"), "jaccard"))
+    """N-gram (word-set) Jaccard near-dup pairs >= 0.8 via broadcast
+    incidence matmul (exact; oracle-checkable). minhash-LSH below is
+    the unbounded-scale path."""
+    from proxyfeatureextraction_spark.operators.dedup import jaccard_pairs
+
+    d = _table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.8)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
     join). Deterministic xxhash64 signatures — no SQL oracle (DuckDB
     lacks the hash family); rows-only check."""
-    NPERM, BANDS = 16, 4  # 4 rows per band
-    w = _doc_words(spark, sf_dir)
-    mh = w.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"h{i}")
-            for i in range(NPERM)
-        ]
-    )
-    rows_per_band = NPERM // BANDS
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("sig"),
-                    )
-                    for bi in range(BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return cand
+    from proxyfeatureextraction_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_table(spark, sf_dir, "documents"))
 
 
 def q_dedup_simhash(spark, sf_dir):
     """SimHash buckets: 16-bit simhash over word hashes; docs sharing a
     bucket are near-dup candidates. rows-only check."""
-    BITS = 16
-    w = _doc_words(spark, sf_dir)
-    bits = w.select(
-        "doc_id",
-        *[
-            F.when(F.shiftright(F.xxhash64("w"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(BITS)
-        ],
-    )
-    sums = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(BITS)]
-    )
-    sim = sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(BITS)
-            ]
-        ).alias("simhash"),
-    )
-    return sim.groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
-    )
+    from proxyfeatureextraction_spark.operators.dedup import simhash_buckets
+
+    return simhash_buckets(_table(spark, sf_dir, "documents"))
 
 
 def _cosine_pairs(spark, sf_dir):
@@ -579,15 +510,12 @@ def _cosine_pairs(spark, sf_dir):
 
 
 def q_similarity_topk(spark, sf_dir):
-    """Brute-force cosine top-5 neighbors per embedding (ANN baseline).
-    Ties broken on rounded cosine + neighbor id so both engines agree."""
-    pairs = _cosine_pairs(spark, sf_dir).withColumn("cos_r", F.round("cos", 6))
-    wtop = Window.partitionBy("vec_id").orderBy(F.desc("cos_r"), F.asc("neighbor"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(wtop))
-        .filter("rk <= 5")
-        .select("vec_id", "neighbor", F.col("cos_r").alias("cosine"), "rk")
-    )
+    """Brute-force cosine top-5 neighbors per embedding: broadcast
+    candidate matrix + one BLAS matmul per Arrow batch. Ties broken on
+    rounded cosine + neighbor id so both engines agree."""
+    from proxyfeatureextraction_spark.operators.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(_table(spark, sf_dir, "embeddings"), k=5)
 
 
 def q_embedding_dup_pairs(spark, sf_dir):

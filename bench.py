@@ -1,0 +1,101 @@
+"""Benchmark harness (driver-run per round).
+
+Times the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the full
+five-extractor feature pipeline on a deterministic synthetic transcript
+table (BASELINE.json metric: turns/sec). Prints ONE JSON line.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local parallelism (default 32)
+  PFX_BENCH_CONVS      synthetic conversations (default 30000, ~1M turns)
+  PFX_BENCH_DIR        parquet cache dir (default /tmp/pfx_bench)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def build_feature_table_from_df(spark, raw):
+    from proxyfeatureextraction_spark import schema as S
+    from proxyfeatureextraction_spark.plans.extract import extract_features
+    from proxyfeatureextraction_spark.schema import with_derived
+
+    d = with_derived(raw)
+    gateway = d.select(S.TS_SEC, S.N_CHARS)
+    return extract_features(d, gateway)
+
+
+def build_feature_table(spark, path: str):
+    raw = spark.read.parquet(path)
+    return raw, build_feature_table_from_df(spark, raw)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("PFX_BENCH_CONVS", "30000"))
+    bench_dir = os.environ.get("PFX_BENCH_DIR", "/tmp/pfx_bench")
+
+    from proxyfeatureextraction_spark import get_spark
+    from proxyfeatureextraction_spark.synth import synth_bench_parquet
+
+    spark = get_spark("pfx-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    headline = [
+        "interarrival", "sessionize", "tumbling_keyed", "asof_join",
+        "interval_join", "outer_align_zproduct", "rtt_pattern",
+        "chunk_concentration", "tpch_q1", "join_revenue",
+        "dedup_jaccard", "similarity_topk", "text_quality",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        timings[name] = round(_time(lambda: qs[name](spark, sf_dir).count()), 3)
+
+    # feature-extraction throughput on the synthetic transcript table
+    marker = os.path.join(bench_dir, f"convs_{n_convs}")
+    if not os.path.exists(os.path.join(marker, "_SUCCESS")):
+        synth_bench_parquet(spark, marker, n_convs=n_convs, partitions=cpus * 2)
+    raw, feats = build_feature_table(spark, marker)
+    n_turns = raw.count()
+    # warm the Python worker pool + JIT once (one-time cost that
+    # amortizes over a real run), then time the measured pass
+    build_feature_table_from_df(spark, raw.limit(5000)).count()
+    t_feat = _time(lambda: feats.count())
+    timings["feature_extraction"] = round(t_feat, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "bench_turns": n_turns,
+                "turns_per_sec": round(n_turns / t_feat, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

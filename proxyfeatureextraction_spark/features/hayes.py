@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from proxyfeatureextraction_spark import schema as S
+from proxyfeatureextraction_spark.features.hayes_vec import hayes_matrix_batch
 from proxyfeatureextraction_spark.features.kernels import hayes_batch
 from proxyfeatureextraction_spark.features.names import HAYES_NAMES
 from proxyfeatureextraction_spark.operators.grouped import map_whole_groups
@@ -27,14 +28,25 @@ OUT_SCHEMA = T.StructType(
 )
 
 
-def hayes_features(derived: DataFrame, pkt_limit: int = 20) -> DataFrame:
+def hayes_features(
+    derived: DataFrame, pkt_limit: int = 20, vectorized: bool = True
+) -> DataFrame:
     """One row per conversation with ≥ pkt_limit turns; 150 columns
-    named per the reference (misaligned names kept, Q1)."""
+    named per the reference (misaligned names kept, Q1).
+
+    ``vectorized`` uses the (C, K)-matrix kernel (one numpy expression
+    per feature block across all conversations in a batch, ~20× the
+    per-conv loop); both paths are oracle-pinned.
+    """
     sliced = gated_first_k(derived, pkt_limit).select(
         S.CONV, S.TURN, S.TS, S.TS_SEC, S.DIR, S.N_CHARS
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return hayes_batch(pdf, columns=HAYES_NAMES)
+    if vectorized:
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return hayes_matrix_batch(pdf, k=pkt_limit, columns=HAYES_NAMES)
+    else:
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return hayes_batch(pdf, columns=HAYES_NAMES)
 
     return map_whole_groups(sliced, kernel, OUT_SCHEMA)

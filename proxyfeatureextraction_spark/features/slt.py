@@ -24,12 +24,20 @@ OUT_SCHEMA = T.StructType(
 )
 
 
-def slt_features(derived: DataFrame, pkt_limit: int = 20) -> DataFrame:
+def slt_features(
+    derived: DataFrame, pkt_limit: int = 20, vectorized: bool = True
+) -> DataFrame:
     sliced = first_k(derived, pkt_limit).select(
         S.CONV, S.TURN, S.TS, S.TS_SEC, S.DIR, S.N_CHARS
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return slt_batch(pdf, columns=SLT_NAMES)
+    if vectorized:
+        from proxyfeatureextraction_spark.features.slt_vec import slt_matrix_batch
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return slt_matrix_batch(pdf, k=pkt_limit, columns=SLT_NAMES)
+    else:
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return slt_batch(pdf, columns=SLT_NAMES)
 
     return map_whole_groups(sliced, kernel, OUT_SCHEMA)

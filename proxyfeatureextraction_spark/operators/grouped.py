@@ -35,14 +35,22 @@ def map_whole_groups(
     out_schema,
     key_col: str = S.CONV,
     partitions: int | None = None,
+    order_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Apply ``kernel(batch_pdf) -> feature_pdf`` over canonical-ordered
     batches that contain only WHOLE groups.
 
     The kernel receives a pandas frame holding one or more complete
-    conversations, already sorted by (conv_id, turn_idx, ts), and
-    returns any number of output rows matching ``out_schema``.
+    conversations, already sorted by (conv_id, turn_idx, ts) — or by
+    (key, *order_cols) when ``order_cols`` overrides the canonical pair
+    (pass ``()`` for order-insensitive kernels) — and returns any
+    number of output rows matching ``out_schema``.
     """
+    if order_cols is not None:
+        parts = [partitions] if partitions else []
+        ordered = df.repartition(*parts, key_col).sortWithinPartitions(key_col, *order_cols)
+    else:
+        ordered = canonical(df, partitions)
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -71,4 +79,4 @@ def map_whole_groups(
             if out is not None and len(out):
                 yield out
 
-    return canonical(df, partitions).mapInPandas(runner, schema=out_schema)
+    return ordered.mapInPandas(runner, schema=out_schema)

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+
+- ``cosine_topk_bruteforce``: exact top-k. The naive plan (cross join +
+  per-pair HOF dot product) burns minutes at 5k vectors; instead the
+  candidate matrix is broadcast once and each Arrow batch does ONE BLAS
+  matmul against it (mapInPandas) — the right brute-force baseline.
+  Broadcast bound: n_candidates × dim × 8 bytes must fit an executor
+  (~100 MB ≈ 200k × 64-dim). Beyond that, use the LSH path.
+- ``cosine_topk_lsh``: random-hyperplane LSH bucketing (deterministic
+  seeded planes), candidates restricted to same-bucket pairs — the
+  scale path; approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("neighbor", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rk", T.IntegerType()),
+    ]
+)
+
+
+def _normalized_matrix(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = pdf["vec_id"].to_numpy()
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return ids, m
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k of every vector vs the whole table.
+
+    Ties broken on (rounded cosine desc, neighbor id asc) so results are
+    deterministic and oracle-comparable.
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cand_pdf = base.toPandas()
+    cand_ids, cand = _normalized_matrix(cand_pdf)
+    cand_norm = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(cand_ids)
+    b_mat = spark.sparkContext.broadcast(cand_norm)
+
+    def run(batches):
+        ids_all, mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids, q = _normalized_matrix(pdf)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ mat.T  # (batch, n_candidates) — one BLAS call
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            out_rows = []
+            for row_i in range(sims.shape[0]):
+                s = sims[row_i]
+                self_mask = ids_all == q_ids[row_i]
+                s = np.where(self_mask, -np.inf, s)
+                # top-k with (score desc, id asc) tiebreak
+                order = np.lexsort((ids_all, -s))[:k]
+                out_rows.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": q_ids[row_i],
+                            "neighbor": ids_all[order],
+                            "cosine": s[order],
+                            "rk": np.arange(1, len(order) + 1, dtype=np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(out_rows, ignore_index=True)
+
+    return base.mapInPandas(run, schema=TOPK_SCHEMA)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket signature, exact
+    re-rank within buckets. Bucket count = 2^n_planes; recall depends
+    on signature length (multi-probe/bands left as a tuning knob)."""
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    first = base.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return base.sparkSession.createDataFrame([], TOPK_SCHEMA)
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, int(first["d"])))
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, m = _normalized_matrix(pdf)
+            bits = (m @ planes.T) > 0
+            sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            yield pd.DataFrame({"vec_id": ids, "bucket": sig.astype(np.int64),
+                                "embedding": pdf["embedding"].to_numpy()})
+
+    bucketed = base.mapInPandas(
+        bucketize,
+        schema=T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("bucket", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+
+    def rerank(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        del key
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor": [], "cosine": [], "rk": []}
+            ).astype({"vec_id": "int64", "neighbor": "int64", "cosine": "float64", "rk": "int32"})
+        ids, m = _normalized_matrix(pdf)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ mn.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        rows = []
+        kk = min(k, len(ids) - 1)
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -sims[i]))[:kk]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids[i],
+                        "neighbor": ids[order],
+                        "cosine": sims[i][order],
+                        "rk": np.arange(1, kk + 1, dtype=np.int32),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    return bucketed.groupBy("bucket").applyInPandas(rerank, schema=TOPK_SCHEMA)

@@ -1,0 +1,169 @@
+"""Full feature-extraction plan — the engine's flagship pipeline.
+
+Fuses the three slice-kernel families (Hayes-150, SLT, host slice
+stats) into ONE shuffle + ONE Arrow pass: the canonical repartition by
+conv_id feeds a single kernel that computes all 324 slice-derived
+columns per conversation. The purely relational parts (host duration /
+Q5 gap, RTT triplet scan, gateway correlation) stay JVM-side and join
+on conv_id afterwards.
+
+Separate-extractor entry points remain in ``features/*`` (same
+numerics — the fused kernel calls the same batch kernels).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from proxyfeatureextraction_spark import schema as S
+from proxyfeatureextraction_spark.features.hayes_vec import hayes_matrix_batch
+from proxyfeatureextraction_spark.features.names import HAYES_NAMES, SLT_NAMES
+from proxyfeatureextraction_spark.features.slt_vec import slt_matrix_batch
+from proxyfeatureextraction_spark.operators.grouped import map_whole_groups
+from proxyfeatureextraction_spark.operators.ordering import conv_window
+
+HOST_SLICE_COLS = [
+    "pkts_rate",
+    *[f"{s}_vol_total_pkts" for s in ("mean", "median", "mode", "std", "skew", "kurtosis")],
+    *[f"{s}_bytes_sent" for s in ("mean", "median", "mode", "std", "skew", "kurtosis")],
+    *[f"{s}_bytes_recv" for s in ("mean", "median", "mode", "std", "skew", "kurtosis")],
+]
+
+
+def _host_slice_stats(pdf: pd.DataFrame, gw: bool) -> pd.DataFrame:
+    from proxyfeatureextraction_spark.features.host import STAT_ORDER, _side_stats
+
+    conv = pdf[S.CONV]
+    all_convs = pd.Index(conv.unique())
+    g = pdf[S.TS_SEC].groupby(conv)
+    span = g.max() - g.min()
+    n = g.size()
+    rate = (n / span.where(span > 0)).fillna(0.0)
+    sent_mask = (pdf[S.DIR] == 1) if not gw else (pdf[S.DIR] == -1)
+    vals = pdf[S.N_CHARS].astype(float)
+    total = _side_stats(conv, vals, all_convs, "vol")
+    sent = _side_stats(conv[sent_mask], vals[sent_mask], all_convs, "sent")
+    recv = _side_stats(conv[~sent_mask], vals[~sent_mask], all_convs, "recv")
+    out = pd.concat([rate.rename("pkts_rate").reindex(all_convs), total, sent, recv], axis=1)
+    rename = {
+        **{f"{s}_vol": f"{s}_vol_total_pkts" for s in STAT_ORDER},
+        **{f"{s}_sent": f"{s}_bytes_sent" for s in STAT_ORDER},
+        **{f"{s}_recv": f"{s}_bytes_recv" for s in STAT_ORDER},
+    }
+    out = out.rename(columns=rename)
+    out.insert(0, S.CONV, all_convs)
+    return out.reset_index(drop=True)
+
+
+def fused_slice_features(
+    derived: DataFrame,
+    pkt_limit: int = 20,
+    comp_pkts_limit: int = 50,
+    gw: bool = False,
+) -> DataFrame:
+    """conv_id + Hayes(150) + SLT(155) + host-slice(19) in one pass.
+
+    Hayes/host columns are NULL for conversations below the ≥pkt_limit
+    gate (SLT has no gate — reference behavior).
+    """
+    w = conv_window()
+    sliced = (
+        derived.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(S.CONV)))
+        .filter(F.col("_rn") <= comp_pkts_limit)
+        .select(S.CONV, S.TURN, S.TS, S.TS_SEC, S.DIR, S.N_CHARS, "_n")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf[S.CONV].to_numpy()
+        change = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        lens = np.diff(np.concatenate((starts, [len(conv)])))
+        within = np.arange(len(conv)) - np.repeat(starts, lens)
+        full_n = pdf["_n"].to_numpy()
+        gated = full_n >= pkt_limit
+
+        head_k = pdf[within < pkt_limit]
+        slt = slt_matrix_batch(
+            head_k.reset_index(drop=True), k=pkt_limit, columns=SLT_NAMES
+        )
+        hayes_in = pdf[(within < pkt_limit) & gated].reset_index(drop=True)
+        hayes = (
+            hayes_matrix_batch(hayes_in, k=pkt_limit, columns=HAYES_NAMES)
+            if len(hayes_in)
+            else pd.DataFrame(columns=[S.CONV, *HAYES_NAMES])
+        )
+        host_in = pdf[gated].reset_index(drop=True)
+        host = (
+            _host_slice_stats(host_in, gw)
+            if len(host_in)
+            else pd.DataFrame(columns=[S.CONV, *HOST_SLICE_COLS])
+        )
+        out = slt.merge(hayes, on=S.CONV, how="left").merge(host, on=S.CONV, how="left")
+        return out[[S.CONV, *HAYES_NAMES, *SLT_NAMES, *HOST_SLICE_COLS]]
+
+    schema = T.StructType(
+        [T.StructField(S.CONV, T.StringType())]
+        + [T.StructField(n, T.DoubleType()) for n in (*HAYES_NAMES, *SLT_NAMES, *HOST_SLICE_COLS)]
+    )
+    return map_whole_groups(sliced, kernel, schema)
+
+
+def host_trace_scalars(derived: DataFrame, max_pkts: int = 20, gap_scope: str = S.FOLDER) -> DataFrame:
+    """duration + Q5 gap_between_conns (see features/host.py)."""
+    from proxyfeatureextraction_spark.features.host import host_features  # noqa: F401
+
+    full = derived.groupBy(gap_scope, S.CONV).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min_by(S.TS_SEC, S.TURN).alias("_first_ts"),
+        F.max_by(S.TS_SEC, S.TURN).alias("_last_ts"),
+    )
+    qual = full.filter(F.col("_n") >= max_pkts).withColumn(
+        "duration", F.col("_last_ts") - F.col("_first_ts")
+    )
+    wkey = Window.partitionBy(gap_scope).orderBy(S.CONV)
+    wtime = Window.partitionBy(gap_scope).orderBy("_first_ts", "_rk")
+    wscope = Window.partitionBy(gap_scope).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    q = qual.withColumn("_rk", F.row_number().over(wkey))
+    q = q.withColumn(
+        "_gap_next", F.abs(F.lead("_first_ts", 1).over(wtime) - F.col("_first_ts"))
+    )
+    q = (
+        q.withColumn("_rt", F.row_number().over(wtime))
+        .withColumn("_diffs", F.array_sort(F.collect_list(F.struct("_rt", "_gap_next")).over(wscope)))
+        .withColumn("_nc", F.size("_diffs"))
+        .withColumn(
+            "gap_between_conns",
+            F.when(F.col("_rk") == F.col("_nc"), F.lit(0.0)).otherwise(
+                F.element_at(F.col("_diffs"), F.col("_rk"))["_gap_next"]
+            ),
+        )
+    )
+    return q.select(gap_scope, S.CONV, "duration", "gap_between_conns")
+
+
+def extract_features(
+    derived: DataFrame,
+    gateway: DataFrame | None = None,
+    pkt_limit: int = 20,
+    comp_pkts_limit: int = 50,
+    gw: bool = False,
+) -> DataFrame:
+    """The full per-conversation feature table (all five families)."""
+    from proxyfeatureextraction_spark.features.corr import corr_features
+    from proxyfeatureextraction_spark.features.rtt import rtt_features
+
+    sliced = fused_slice_features(derived, pkt_limit, comp_pkts_limit, gw)
+    scalars = host_trace_scalars(derived, max_pkts=pkt_limit)
+    out = sliced.join(scalars, S.CONV, "left").join(
+        rtt_features(derived, pkt_limit), S.CONV, "left"
+    )
+    if gateway is not None:
+        out = out.join(corr_features(derived, gateway, pkt_limit), S.CONV, "left")
+    return out
