@@ -1,0 +1,113 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All JVM-side (built-in functions / higher-order array expressions) —
+no Python in the hot path. Each returns Column(s) usable in any plan;
+``__spark_entry__`` exposes oracle-checked query versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in")
+MARKERS = {
+    "en": ("the", "and", "of", "a"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "et", "de"),
+    "de": ("der", "die", "und", "das"),
+}
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.filter(F.split(text_col, " "), lambda w: F.length(w) > 0)
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Regex token count approximating subword pre-tokenization."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+
+
+def avg_token_len(text_col: str = "text") -> Column:
+    t = tokens(text_col)
+    return F.aggregate(t, F.lit(0.0), lambda a, w: a + F.length(w)) / F.greatest(
+        F.size(t).cast("double"), F.lit(1.0)
+    )
+
+
+def stopword_ratio(text_col: str = "text", stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    t = tokens(text_col)
+    return F.size(F.filter(t, lambda w: w.isin(*stopwords))) / F.greatest(
+        F.size(t).cast("double"), F.lit(1.0)
+    )
+
+
+def long_token_ratio(text_col: str = "text", min_len: int = 8) -> Column:
+    t = tokens(text_col)
+    return F.size(F.filter(t, lambda w: F.length(w) >= min_len)) / F.greatest(
+        F.size(t).cast("double"), F.lit(1.0)
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence − degenerate-token penalty."""
+    n = F.length(text_col)
+    len_ok = F.when((n >= 50) & (n <= 4000), 1.0).otherwise(0.3)
+    sw = stopword_ratio(text_col)
+    sw_ok = F.when((sw > 0.02) & (sw < 0.5), 1.0).otherwise(0.5)
+    longtok = F.when(long_token_ratio(text_col) < 0.5, 1.0).otherwise(0.4)
+    return F.round((len_ok + sw_ok + longtok) / 3.0, 6)
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    t = tokens(text_col)
+    nt = F.greatest(F.size(t).cast("double"), F.lit(1.0))
+
+    def _score(marks: tuple[str, ...]) -> Column:
+        # NB: a one-parameter lambda is required — a second (default)
+        # parameter makes F.filter pass the element index into it
+        return F.size(F.filter(t, lambda w: w.isin(*marks))) / nt
+
+    return {lang: _score(marks) for lang, marks in MARKERS.items()}
+
+
+def lang_guess(text_col: str = "text") -> Column:
+    scores = lang_scores(text_col)
+    pairs = [F.struct(v.alias("s"), F.lit(k).alias("l")) for k, v in scores.items()]
+    # greatest-by-score with deterministic key tiebreak (array_max on
+    # struct compares fields in order: score, then lang)
+    return F.array_max(F.array(*pairs))["l"]
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Positional polynomial document fingerprint mod 1e9+7
+    (order-sensitive, deterministic, engine/DuckDB-identical)."""
+    t = tokens(text_col)
+    terms = F.transform(
+        t,
+        lambda w, i: ((i + 1) * (F.length(w).cast("long") * 131 + F.ascii(w)))
+        % F.lit(FINGERPRINT_MOD),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % F.lit(
+        FINGERPRINT_MOD
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(text_col))
+        .withColumn("avg_token_len", F.round(avg_token_len(text_col), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(text_col), 6))
+        .withColumn("quality_score", quality_score(text_col))
+        .withColumn("lang_guess", lang_guess(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
+    return out

@@ -16,6 +16,15 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_dir() -> str:
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        path = os.path.join(shm, "pfx-spark")
+        os.makedirs(path, exist_ok=True)
+        return path
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "proxyfeatureextraction_spark",
     master: str | None = None,
@@ -51,8 +60,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")
+        # local-mode shuffle on tmpfs: the sandbox's virtio disk
+        # serializes shuffle spill and caps thread scaling; a real
+        # cluster has node-local NVMe that scales with executors
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _local_dir()))
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )
     for k, v in (extra_conf or {}).items():

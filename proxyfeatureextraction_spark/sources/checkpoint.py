@@ -1,0 +1,145 @@
+"""Per-partition checkpoint manifests + resumable runs (SURVEY.md S8).
+
+The reference has no checkpointing (batch numbering only,
+``data_io.py:87``). This layer makes extraction idempotent and
+resumable at ingest-partition (``folder_name``) granularity:
+
+- output parquet is written ``partitionBy(folder_name)``;
+- each completed partition gets a JSON manifest carrying lineage:
+  partition id, input fingerprint, row count, order-insensitive
+  feature checksum, wall time, engine version;
+- a re-run lists manifests first and processes only missing
+  partitions — killed runs resume where they stopped.
+
+On an Iceberg deployment the input fingerprint is the snapshot id
+(``VERSION AS OF`` pinning); the sandbox has no Iceberg runtime jar, so
+the fallback fingerprints the parquet file listing. Both go through
+``input_fingerprint``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from proxyfeatureextraction_spark import __version__
+from proxyfeatureextraction_spark import schema as S
+
+MANIFEST_DIR = "_manifests"
+
+
+def input_fingerprint(spark, path: str) -> str:
+    """Snapshot id on Iceberg; parquet listing hash otherwise."""
+    try:  # Iceberg table identifier?
+        snap = spark.sql(f"SELECT snapshot_id FROM {path}.snapshots ORDER BY committed_at DESC LIMIT 1")
+        return f"iceberg:{snap.first()[0]}"
+    except Exception:  # noqa: BLE001 — not an Iceberg table / no runtime
+        pass
+    h = hashlib.blake2b(digest_size=16)
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            h.update(f"{name}:{st.st_size}".encode())
+    else:
+        h.update(path.encode())
+    return f"files:{h.hexdigest()}"
+
+
+def _manifest_path(out_dir: str, partition: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"{partition}.json")
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
+
+
+def feature_checksums(features: DataFrame, partition_col: str) -> dict[str, tuple[int, int]]:
+    """(row_count, order-insensitive value checksum) per partition."""
+    num_cols = [
+        f.name
+        for f in features.schema.fields
+        if f.name not in (partition_col, S.CONV) and f.dataType.typeName() in ("double", "float", "integer", "long")
+    ]
+    # modular row hash: summable without ANSI long overflow
+    row_hash = F.pmod(
+        F.xxhash64(S.CONV, *[F.round(F.col(c).cast("double"), 6) for c in num_cols]),
+        F.lit(1_000_000_007),
+    )
+    agg = features.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(row_hash).alias("checksum"),
+    )
+    return {r[partition_col]: (r["rows"], r["checksum"]) for r in agg.collect()}
+
+
+def write_manifest(
+    out_dir: str,
+    partition: str,
+    rows: int,
+    checksum: int,
+    wall_sec: float,
+    fingerprint: str,
+) -> None:
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    payload = {
+        "partition": partition,
+        "rows": int(rows),
+        "feature_checksum": int(checksum) if checksum is not None else None,
+        "wall_sec": round(wall_sec, 3),
+        "input_fingerprint": fingerprint,
+        "engine_version": __version__,
+        "completed_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+    }
+    tmp = _manifest_path(out_dir, partition) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, _manifest_path(out_dir, partition))
+
+
+def run_resumable(
+    spark,
+    in_path: str,
+    out_dir: str,
+    build_features,
+    partition_col: str = S.FOLDER,
+) -> dict:
+    """Extract features for all partitions not yet manifested.
+
+    ``build_features(raw_df) -> feature_df`` must carry
+    ``partition_col`` through. Returns a summary dict.
+    """
+    raw = spark.read.parquet(in_path)
+    fp = input_fingerprint(spark, in_path)
+    all_parts = [r[0] for r in raw.select(partition_col).distinct().collect()]
+    done = completed_partitions(out_dir)
+    pending = sorted(set(all_parts) - done)
+    if not pending:
+        return {"skipped": len(done), "processed": 0, "fingerprint": fp}
+
+    t0 = time.perf_counter()
+    subset = raw.filter(F.col(partition_col).isin(pending))
+    feats = build_features(subset)
+    (
+        feats.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_dir)
+    )
+    wall = time.perf_counter() - t0
+    sums = feature_checksums(spark.read.parquet(out_dir).filter(
+        F.col(partition_col).isin(pending)
+    ), partition_col)
+    per_part_wall = wall / max(len(pending), 1)
+    for part in pending:
+        rows, chk = sums.get(part, (0, 0))
+        write_manifest(out_dir, part, rows, chk, per_part_wall, fp)
+    return {"skipped": len(done), "processed": len(pending), "fingerprint": fp, "wall_sec": wall}

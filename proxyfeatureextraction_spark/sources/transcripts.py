@@ -1,0 +1,86 @@
+"""Sources & sinks (SURVEY §2.1 S1/S2/S3/S5/S6).
+
+The reference's folder-of-CSVs corpus (one directory per capture with
+``proxy_conn.csv`` / ``relayed_conn_labeled.csv`` /
+``background_conn_labeled.csv``, ``data_io.py:53-77``) maps to ONE
+table with ``folder_name`` (ingest partition) and ``source``
+discriminator columns. Iceberg is the deployment target; the sandbox
+has no Iceberg runtime jar, so ``read_transcripts`` falls back
+parquet → csv, detected once per call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from proxyfeatureextraction_spark import schema as S
+
+
+def read_transcripts(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """S1: scan the transcript table. ``fmt``: iceberg|parquet|csv|None
+    (auto: iceberg table identifier → parquet dir → csv dir)."""
+    if fmt == "iceberg" or (fmt is None and "/" not in path):
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:  # noqa: BLE001 — no Iceberg runtime in sandbox
+            if fmt == "iceberg":
+                raise
+    if fmt in (None, "parquet"):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001
+            if fmt == "parquet":
+                raise
+    return spark.read.schema(S.TRANSCRIPT_SCHEMA).option("header", "true").csv(path)
+
+
+def filter_split(
+    df: DataFrame, manifest: DataFrame, split: str, folder_col: str = S.FOLDER
+) -> DataFrame:
+    """S2: manifest-driven split selection (``data_io.py:17-32``).
+
+    ``manifest``: (folder_name, split). Broadcast semi-join → with a
+    partition column this becomes pure partition pruning.
+    """
+    wanted = manifest.filter(F.col("split") == split).select(folder_col)
+    return df.join(F.broadcast(wanted), folder_col, "left_semi")
+
+
+def read_manifest(spark: SparkSession, csv_path: str) -> DataFrame:
+    return spark.read.option("header", "true").csv(csv_path).select(
+        F.col("folder_name"), F.col("split")
+    )
+
+
+def by_source(df: DataFrame, source: str) -> DataFrame:
+    """S3: one of the three per-folder sources (background/relayed/proxy)."""
+    return df.filter(F.col(S.SOURCE) == source)
+
+
+def write_features(
+    features: DataFrame, path: str, partition_cols: tuple[str, ...] = (S.FOLDER,), mode: str = "overwrite"
+) -> None:
+    """S5: feature sink, partitioned by ingest partition (Iceberg:
+    ``writeTo(...).append()``; parquet fallback)."""
+    w = features.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def read_feature_table(
+    spark: SparkSession,
+    path: str,
+    feature_set: str | None = None,
+    source: str | None = None,
+) -> DataFrame:
+    """S6: feature-table scan with discriminator filters (the filename-
+    pattern scan of ``classification/data.py:10-50`` becomes column
+    predicates that prune partitions)."""
+    df = spark.read.parquet(path)
+    if feature_set is not None and "feature_set" in df.columns:
+        df = df.filter(F.col("feature_set") == feature_set)
+    if source is not None and S.SOURCE in df.columns:
+        df = df.filter(F.col(S.SOURCE) == source)
+    return df

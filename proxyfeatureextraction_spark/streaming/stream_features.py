@@ -1,0 +1,103 @@
+"""Structured Streaming counterparts of the batch windowed operators.
+
+The reference is pure batch (SURVEY §2.9); these give its three
+streaming-shaped constructs watermark-correct streaming semantics:
+
+- tumbling per-(conv, window) aggregates (the 0.1 s-bin analog),
+- gap-based session windows (``session_window``),
+- a stateful per-conversation running profile via
+  ``applyInPandasWithState`` (custom stateful operator surface).
+
+Batch/stream parity: the same aggregations run identically on a static
+DataFrame — tests drive both from the same parquet and compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from proxyfeatureextraction_spark import schema as S
+
+
+def stream_transcripts(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(S.TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def _derived(stream: DataFrame) -> DataFrame:
+    return stream.withColumn(S.N_CHARS, F.coalesce(F.length(S.TEXT), F.lit(0))).withColumn(
+        S.DIR, F.when(F.col(S.ROLE) == "user", F.lit(1)).otherwise(F.lit(-1))
+    )
+
+
+def tumbling_turn_stats(
+    stream: DataFrame, window: str = "1 minute", watermark: str = "10 minutes"
+) -> DataFrame:
+    """A3/A4 streaming analog: per-(conv, tumbling-window) turn stats."""
+    return (
+        _derived(stream)
+        .withWatermark(S.TS, watermark)
+        .groupBy(S.CONV, F.window(S.TS, window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(S.N_CHARS).alias("sum_chars"),
+            F.sum(F.when(F.col(S.DIR) == 1, 1).otherwise(0)).alias("n_user"),
+        )
+    )
+
+
+def session_stats(
+    stream: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """W8 streaming analog: gap-based session windows per conversation."""
+    return (
+        _derived(stream)
+        .withWatermark(S.TS, watermark)
+        .groupBy(S.CONV, F.session_window(S.TS, gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.sum(S.N_CHARS).alias("sum_chars"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming aggregation to completion against static files
+    (local smoke harness): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def stateful_conv_profile(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator: running per-conversation profile
+    (turn count, char sum, last ts) maintained across micro-batches via
+    applyInPandasWithState."""
+    import pandas as pd
+
+    out_schema = "conv_id string, n_turns long, sum_chars long, last_ts timestamp"
+    state_schema = "n long, s long, last timestamp"
+
+    def update(key, pdfs, state):
+        n, sm, last = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            sm += int(pdf[S.N_CHARS].sum())
+            mx = pdf[S.TS].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, sm, last))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n], "sum_chars": [sm], "last_ts": [last]}
+        )
+
+    return (
+        _derived(stream)
+        .groupBy(S.CONV)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )

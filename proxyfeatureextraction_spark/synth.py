@@ -164,3 +164,49 @@ def synth_bench_parquet(
     )
     df.repartition(partitions, S.CONV).write.mode("overwrite").parquet(path)
     return path
+
+
+def synth_bench_parquet_distributed(
+    spark,
+    path: str,
+    n_convs: int = 1_200_000,
+    seed: int = 42,
+    block_convs: int = 5000,
+    partitions: int | None = None,
+) -> str:
+    """Cluster-scale deterministic generator: one task per block of
+    conversations, each block produced by the same seeded routine
+    (seed + block index), so output is identical for any partitioning.
+    Generates tens of millions of turns without a driver bottleneck.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_blocks = (n_convs + block_convs - 1) // block_convs
+    blocks = spark.range(n_blocks).repartition(partitions or n_blocks)
+
+    def gen(batches):
+        for pdf in batches:
+            for block in pdf["id"].tolist():
+                out = synth_transcripts_pdf(
+                    n_convs=min(block_convs, n_convs - block * block_convs),
+                    seed=seed + int(block),
+                    heavy_hitters=2,
+                    with_text=False,
+                )
+                out[S.CONV] = f"b{block}_" + out[S.CONV].astype(str)
+                out[S.FOLDER] = f"b{block}_" + out[S.FOLDER].astype(str)
+                yield out
+
+    skeleton_schema = (
+        "folder_name string, source string, conv_id string, turn_idx int, "
+        "role string, tool string, n_chars_target long, ts timestamp"
+    )
+    df = (
+        blocks.mapInPandas(gen, schema=skeleton_schema)
+        .withColumn(S.TEXT, F.expr("repeat('x', n_chars_target)"))
+        .drop("n_chars_target")
+        .select(S.FOLDER, S.SOURCE, S.CONV, S.TURN, S.ROLE, S.TEXT, S.TOOL, S.TS)
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path

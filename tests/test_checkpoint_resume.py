@@ -1,0 +1,75 @@
+"""Resume semantics: a partial run's completed partitions are skipped
+and the final output is identical to a single clean run (SURVEY §5.6)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from proxyfeatureextraction_spark import schema as S
+from proxyfeatureextraction_spark.plans.extract import extract_features
+from proxyfeatureextraction_spark.schema import with_derived
+from proxyfeatureextraction_spark.sources.checkpoint import (
+    completed_partitions,
+    run_resumable,
+)
+
+
+def _builder(raw):
+    d = with_derived(raw)
+    feats = extract_features(d)
+    folders = d.select(S.FOLDER, S.CONV).distinct()
+    return feats.drop(S.FOLDER).join(folders, S.CONV, "left")
+
+
+def test_resume_skips_completed(spark, transcripts_df, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    transcripts_df.write.mode("overwrite").parquet(src)
+
+    # full clean run
+    s1 = run_resumable(spark, src, out, _builder)
+    assert s1["processed"] > 0 and s1["skipped"] == 0
+    done = completed_partitions(out)
+    assert done
+
+    # re-run: everything skipped, output unchanged
+    before = spark.read.parquet(out).toPandas().sort_values(S.CONV).reset_index(drop=True)
+    s2 = run_resumable(spark, src, out, _builder)
+    assert s2["processed"] == 0 and s2["skipped"] == len(done)
+    after = spark.read.parquet(out).toPandas().sort_values(S.CONV).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_partial_failure_resume(spark, transcripts_df, tmp_path):
+    src = str(tmp_path / "src")
+    out_clean = str(tmp_path / "clean")
+    out_resumed = str(tmp_path / "resumed")
+    transcripts_df.write.mode("overwrite").parquet(src)
+
+    run_resumable(spark, src, out_clean, _builder)
+
+    # simulate a killed run: process only one folder, then resume
+    from pyspark.sql import functions as F
+
+    one = transcripts_df.filter(F.col(S.FOLDER) == "folder_0")
+    src_one = str(tmp_path / "src_one")
+    one.write.mode("overwrite").parquet(src_one)
+    run_resumable(spark, src_one, out_resumed, _builder)
+    assert completed_partitions(out_resumed) == {"folder_0"}
+
+    s = run_resumable(spark, src, out_resumed, _builder)
+    assert s["skipped"] == 1 and s["processed"] >= 1
+
+    a = spark.read.parquet(out_clean).toPandas().sort_values(S.CONV).reset_index(drop=True)
+    b = spark.read.parquet(out_resumed).toPandas().sort_values(S.CONV).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_like=True
+    )
+
+    # manifests carry lineage fields
+    mpath = os.path.join(out_resumed, "_manifests", "folder_0.json")
+    m = json.load(open(mpath))
+    assert m["rows"] >= 0 and "input_fingerprint" in m and m["wall_sec"] > 0

@@ -1,0 +1,85 @@
+"""Streaming/batch parity: the same windowed aggregations produce the
+same results whether driven by readStream (memory sink) or batch."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from proxyfeatureextraction_spark import schema as S
+from proxyfeatureextraction_spark.streaming.stream_features import (
+    run_to_memory,
+    session_stats,
+    stateful_conv_profile,
+    stream_transcripts,
+    tumbling_turn_stats,
+)
+
+
+def _src(spark, transcripts_df, tmp_path):
+    path = str(tmp_path / "stream_src")
+    transcripts_df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_tumbling_stream_matches_batch(spark, transcripts_df, tmp_path):
+    path = _src(spark, transcripts_df, tmp_path)
+    run_to_memory(tumbling_turn_stats(stream_transcripts(spark, path, max_files=4)), "tumb")
+    got = (
+        spark.table("tumb")
+        .select(S.CONV, F.col("win.start").alias("ws"), "n_turns", "sum_chars", "n_user")
+        .toPandas()
+        .sort_values([S.CONV, "ws"])
+        .reset_index(drop=True)
+    )
+    batch = spark.read.parquet(path)
+    exp = (
+        batch.withColumn(S.N_CHARS, F.coalesce(F.length(S.TEXT), F.lit(0)))
+        .withColumn(S.DIR, F.when(F.col(S.ROLE) == "user", 1).otherwise(-1))
+        .groupBy(S.CONV, F.window(S.TS, "1 minute").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(S.N_CHARS).alias("sum_chars"),
+            F.sum(F.when(F.col(S.DIR) == 1, 1).otherwise(0)).alias("n_user"),
+        )
+        .select(S.CONV, F.col("win.start").alias("ws"), "n_turns", "sum_chars", "n_user")
+        .toPandas()
+        .sort_values([S.CONV, "ws"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_session_window_stream(spark, transcripts_df, tmp_path):
+    path = _src(spark, transcripts_df, tmp_path)
+    run_to_memory(session_stats(stream_transcripts(spark, path)), "sess")
+    got = spark.table("sess").toPandas()
+    assert len(got) > 0
+    # sessions per conv ≥ 1 and turn counts add up
+    per_conv = got.groupby(S.CONV)["n_turns"].sum()
+    exp = transcripts_df.groupBy(S.CONV).count().toPandas().set_index(S.CONV)["count"]
+    assert per_conv.sort_index().tolist() == exp.sort_index().tolist()
+
+
+def test_stateful_profile(spark, transcripts_df, tmp_path):
+    path = _src(spark, transcripts_df, tmp_path)
+    out = stateful_conv_profile(stream_transcripts(spark, path, max_files=2))
+    q = out.writeStream.outputMode("update").format("memory").queryName("prof").start()
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.table("prof")
+        .groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n_turns"), F.max("sum_chars").alias("sum_chars"))
+        .toPandas()
+        .set_index("conv_id")
+    )
+    exp = (
+        transcripts_df.withColumn("nc", F.length(S.TEXT))
+        .groupBy(S.CONV)
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.sum("nc").alias("sum_chars"))
+        .toPandas()
+        .set_index(S.CONV)
+    )
+    assert got["n_turns"].sort_index().tolist() == exp["n_turns"].sort_index().tolist()
+    assert got["sum_chars"].sort_index().tolist() == exp["sum_chars"].sort_index().tolist()

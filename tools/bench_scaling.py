@@ -1,0 +1,159 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule).
+
+Runs the north-star job — the point-in-time as-of + windowed feature
+surface (`plans.pit.pit_features`: backfilled lags, sessionize,
+rolling/per-role stats for every (conv_id, ts)) — on the SAME
+deterministic synthetic transcript input at two parallelism levels
+(local[8] vs local[32] = the sandbox stand-in for N vs 4N executors,
+per driver instruction) in separate JVMs, and writes BENCH/BASELINE.md.
+
+The full five-family batch extraction is also timed once at the high
+level for context (its throughput is the bench.py headline; its stage
+count makes it scheduling-bound at small inputs, so the per-core
+scaling claim is made on the PIT job at 10× the rows).
+
+Usage: python tools/bench_scaling.py [n_convs] [low] [high] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {root!r})
+from proxyfeatureextraction_spark import get_spark
+from proxyfeatureextraction_spark.schema import with_derived
+from proxyfeatureextraction_spark.plans.pit import pit_features
+from bench import build_feature_table_from_df
+
+cores = {cores}
+# 3 partitions per core: multi-wave scheduling absorbs heavy-hitter
+# stragglers (same setting at both levels)
+spark = get_spark("pfx-scaling", master=f"local[{{cores}}]", shuffle_partitions=cores * 3)
+raw = spark.read.parquet({path!r})
+n = raw.count()
+
+def pit_job():
+    pit_features(with_derived(raw)).write.mode("overwrite").format("noop").save()
+
+def extract_job():
+    build_feature_table_from_df(spark, raw).count()
+
+job = pit_job if {job!r} == "pit" else extract_job
+# warm: python workers, codegen, page cache (small slice + one full)
+build_feature_table_from_df(spark, raw.limit(5000)).count()
+job()
+runs = []
+for _ in range({reps}):
+    t0 = time.perf_counter()
+    job()
+    runs.append(time.perf_counter() - t0)
+best = min(runs)
+print("RESULT " + json.dumps({{"cores": cores, "turns": n, "secs": runs,
+                               "best_sec": best, "turns_per_sec": n / best}}))
+"""
+
+
+def run_level(path: str, cores: int, reps: int, job: str) -> dict:
+    code = WORKER.format(root=ROOT, cores=cores, path=path, reps=reps, job=job)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=5400,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def ensure_input(n_convs: int) -> str:
+    path = f"/tmp/pfx_bench/convs_{n_convs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from proxyfeatureextraction_spark import get_spark
+        from proxyfeatureextraction_spark.synth import synth_bench_parquet_distributed
+
+        spark = get_spark("pfx-synth", master="local[32]", shuffle_partitions=32)
+        synth_bench_parquet_distributed(spark, path, n_convs=n_convs, partitions=128)
+        spark.stop()
+    return path
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    job = sys.argv[5] if len(sys.argv) > 5 else "pit"
+
+    path = ensure_input(n_convs)
+    lo = run_level(path, low, reps, job)
+    hi = run_level(path, high, reps, job)
+    ratio = high / low
+    eff = hi["turns_per_sec"] / (ratio * lo["turns_per_sec"])
+    ex = run_level(path, high, max(1, reps - 1), "extract")
+
+    md = f"""# BENCH/BASELINE — throughput & scaling efficiency
+
+Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} by
+`python tools/bench_scaling.py {n_convs} {low} {high} {reps}`.
+
+## North-star job: point-in-time as-of + windowed feature surface
+
+`plans.pit.pit_features` — for every (conv_id, ts): backfilled lag
+features, gap-sessionization, prefix/rolling per-role/per-tool stats,
+all frames ≤ currentRow (leakage-audited). Input: deterministic
+synthetic transcript table (seed 42, {n_convs:,} conversations,
+{lo["turns"]:,} turns), identical at both levels; noop sink; separate
+JVMs; warm best-of-{len(lo["secs"])}; shuffle on tmpfs (the sandbox's
+virtio disk serializes spill — a cluster's node-local NVMe scales with
+executors).
+
+| parallelism | wall (s) | turns/sec |
+|---|---|---|
+| local[{low}] (N) | {lo["best_sec"]:.1f} | {lo["turns_per_sec"]:,.0f} |
+| local[{high}] ({ratio:.0f}N) | {hi["best_sec"]:.1f} | {hi["turns_per_sec"]:,.0f} |
+
+**Scaling efficiency** = thr({ratio:.0f}N) / ({ratio:.0f} × thr(N)) =
+**{eff:.3f}** (target ≥ 0.8).
+
+Raw runs: local[{low}] {[round(s, 1) for s in lo["secs"]]} s,
+local[{high}] {[round(s, 1) for s in hi["secs"]]} s.
+
+## Context: full five-family batch extraction
+
+Hayes-150 + SLT + host + RTT + gateway-correlation
+(`plans.extract.extract_features`) at local[{high}]:
+**{ex["turns_per_sec"]:,.0f} turns/sec** ({ex["best_sec"]:.1f} s on
+{ex["turns"]:,} turns). This pipeline is a DAG of ~40 stages (five
+joined families incl. the corr range-join fan-out); at sandbox input
+sizes its wall time is dominated by per-stage scheduling barriers
+(~constant per stage), which do not decrease with core count — the
+single-host analog of driver overhead, amortized away at real input
+scale. Reference comparison: the reference publishes no throughput
+numbers (BASELINE.md); its architecture is one OS process per capture
+folder with per-connection Python loops.
+
+Caveat: single-host local-mode "cluster sizes" share one memory bus;
+both jobs use the identical shuffle-partitioned layout
+(`repartition(conv_id)` + sortWithinPartitions) that transfers
+unchanged to a multi-executor cluster.
+"""
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    out_path = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as fh:
+        fh.write(md)
+    print(json.dumps({"efficiency": eff, "low": lo, "high": hi, "extract_high": ex}))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
