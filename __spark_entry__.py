@@ -617,6 +617,96 @@ def q_multimodal_bytes(spark, sf_dir):
     )
 
 
+
+
+def q_pit_row_features(spark, sf_dir):
+    """The north-star per-(entity, ts) point-in-time surface on events:
+    backfilled lag, sessionize, prefix/rolling stats — frames ≤ currentRow."""
+    e = _events(spark, sf_dir)
+    w = _w()
+    wcum = _wcum()
+    wroll = w.rowsBetween(-9, 0)
+    gap = F.col("tsec") - F.lag("tsec", 1).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        _R6(gap, "delta_prev"),
+        F.sum(F.when(gap > 3600.0, 1).otherwise(0)).over(wcum).alias("session_id"),
+        _R6(F.sum("value").over(wcum), "cum_value"),
+        F.row_number().over(w).alias("turn_rank"),
+        _R6(F.avg("value").over(wroll), "roll_avg_10"),
+        F.sum(F.when(F.col("dir") == 1, 1).otherwise(0)).over(wcum).alias("cum_out"),
+        F.last(F.when(F.col("event_type") == "signup", F.col("tsec")), ignorenulls=True)
+        .over(wcum)
+        .alias("last_signup_tsec"),
+    ).withColumn("last_signup_tsec", _R6(F.col("last_signup_tsec"), "last_signup_tsec"))
+
+
+def q_asof_global(spark, sf_dir):
+    """Global-stream backward as-of (un-keyed): each event ← value of
+    the latest signup across ALL users (scalable bucketed pattern)."""
+    from proxyfeatureextraction_spark.operators.asof import asof_join_global
+
+    e = _events(spark, sf_dir)
+    left = e.select("event_id", F.col("tsec").alias("t"))
+    right = e.filter("event_type = 'signup'").select(
+        F.col("tsec").alias("t"), F.col("value").alias("v")
+    )
+    out = asof_join_global(left, right, ts_col="t", value_col="v", bucket_seconds=3600.0)
+    return out.select("event_id", _R6(F.col("v_asof"), "v_asof"))
+
+
+def q_salted_stats(spark, sf_dir):
+    """Salted two-phase aggregation (skew machinery) — exactness vs a
+    plain SQL groupBy is the check."""
+    from proxyfeatureextraction_spark.operators.skew import salted_stats
+
+    e = _events(spark, sf_dir)
+    out = salted_stats(e, "value", salt=16, key="user_id", salt_col="event_id")
+    return out.select(
+        "user_id",
+        F.col("count").alias("n"),
+        _R6(F.col("sum"), "sum_value"),
+        _R6(F.col("min"), "min_value"),
+        _R6(F.col("max"), "max_value"),
+        _R6(F.round(F.col("sum"), 6) / F.col("count"), "avg_value"),
+        _R6(F.col("std_pop"), "std_value"),
+    )
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Row-level exact-dedup survivors: keep min doc_id per content."""
+    from proxyfeatureextraction_spark.operators.dedup import exact_dedup
+
+    d = _table(spark, sf_dir, "documents")
+    return exact_dedup(d).select("keep_id", "copies").withColumnRenamed("keep_id", "doc_id")
+
+
+def q_rollup_counts(spark, sf_dir):
+    """Grouping sets: rollup over (event_type, dir)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.rollup("event_type", "dir")
+        .agg(F.count(F.lit(1)).alias("n"), _R6(F.sum("value"), "sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dir").cast("string"), F.lit("ALL")).alias("dir_s"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event-type count matrix."""
+    e = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = e.groupBy("user_id").pivot("event_type", types).count()
+    for t in types:
+        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0))).drop(t)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -687,6 +777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_bytes": q_multimodal_bytes,
+        "pit_row_features": q_pit_row_features,
+        "asof_global": q_asof_global,
+        "salted_stats": q_salted_stats,
+        "dedup_survivors": q_dedup_survivors,
+        "rollup_counts": q_rollup_counts,
+        "pivot_counts": q_pivot_counts,
     }
 
 
@@ -1044,5 +1140,64 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode(text)) AS payload_bytes,
                length(text) AS n_chars_q
         FROM documents
+        """,
+        "pit_row_features": _EVENTS_CTE
+        + """
+        , d AS (
+          SELECT *, tsec - lag(tsec, 1) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap
+          FROM ev
+        )
+        SELECT user_id, event_id,
+               round(gap, 6) AS delta_prev,
+               sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END) OVER wc AS session_id,
+               round(sum(value) OVER wc, 6) AS cum_value,
+               row_number() OVER w AS turn_rank,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS roll_avg_10,
+               sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) OVER wc AS cum_out,
+               round(last_value(CASE WHEN event_type = 'signup' THEN tsec END IGNORE NULLS)
+                     OVER wc, 6) AS last_signup_tsec
+        FROM d WINDOW
+          w AS (PARTITION BY user_id ORDER BY tsec, event_id),
+          wc AS (PARTITION BY user_id ORDER BY tsec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "asof_global": _EVENTS_CTE
+        + """
+        , s AS (SELECT tsec AS t, value AS v FROM ev WHERE event_type = 'signup'),
+        l AS (SELECT event_id, tsec AS t FROM ev)
+        SELECT l.event_id, round(s.v, 6) AS v_asof
+        FROM l ASOF LEFT JOIN s ON l.t >= s.t
+        """,
+        "salted_stats": _EVENTS_CTE
+        + """
+        SELECT user_id, count(value) AS n,
+               round(sum(value), 6) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               round(round(sum(value), 6) / count(value), 6) AS avg_value,
+               round(stddev_pop(value), 6) AS std_value
+        FROM ev GROUP BY user_id
+        """,
+        "dedup_survivors": """
+        SELECT min(doc_id) AS doc_id, count(*) AS copies
+        FROM documents GROUP BY text
+        """,
+        "rollup_counts": _EVENTS_CTE
+        + """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(dir AS VARCHAR), 'ALL') AS dir_s,
+               count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM ev GROUP BY ROLLUP (event_type, dir)
+        """,
+        "pivot_counts": _EVENTS_CTE
+        + """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM ev GROUP BY user_id
         """,
     }
