@@ -74,3 +74,90 @@ def salted_stats(
         .withColumn("var_pop", var)
         .withColumn("std_pop", F.sqrt(var))
     )
+
+
+def blocked_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    out: str,
+    block_rows: int = 100_000,
+    key: str = S.CONV,
+    idx_col: str = S.TURN,
+) -> DataFrame:
+    """Skew-split running sum for ORDER-DEPENDENT state (north rule).
+
+    A plain window prefix sum puts a whole conversation in one sorted
+    task — a 10^9-turn heavy hitter stalls an executor. Split by
+    contiguous turn blocks instead:
+
+    1. within-block cumsum over (key, block) — every partition bounded
+       by ``block_rows``;
+    2. per-block totals (tiny: rows/block_rows per key) get a running
+       offset over blocks via a second, trivially small window;
+    3. final value = within-block cumsum + previous blocks' offset.
+
+    Exactly equals ``windows.prefix_sum`` (tested), with no unbounded
+    partition anywhere.
+    """
+    from pyspark.sql import Window
+
+    block = F.floor(F.col(idx_col) / F.lit(block_rows)).alias("_blk")
+    d = df.withColumn("_blk", block)
+    win_in = (
+        Window.partitionBy(key, "_blk")
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_within", F.sum(F.col(value_col).cast("double")).over(win_in))
+
+    totals = d.groupBy(key, "_blk").agg(F.sum(F.col(value_col).cast("double")).alias("_tot"))
+    win_blk = (
+        Window.partitionBy(key)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(win_blk), F.lit(0.0))).select(
+        key, "_blk", "_off"
+    )
+    return (
+        d.join(offsets, [key, "_blk"], "inner")
+        .withColumn(out, F.col("_within") + F.col("_off"))
+        .drop("_blk", "_within", "_off")
+    )
+
+
+def blocked_sessionize(
+    df: DataFrame,
+    gap_seconds: float = 300.0,
+    ts_col: str = "ts_sec",
+    out: str = "session_id",
+    block_rows: int = 100_000,
+    key: str = S.CONV,
+    idx_col: str = S.TURN,
+) -> DataFrame:
+    """Skew-split gap-sessionization: the lag at each block boundary is
+    recovered from the previous block's closing timestamp (carried
+    through the tiny per-block table), then session ids are a blocked
+    prefix sum of the gap flags."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("_blk", F.floor(F.col(idx_col) / F.lit(block_rows)))
+    win_in = Window.partitionBy(key, "_blk").orderBy(idx_col)
+    d = d.withColumn("_prev_in", F.lag(ts_col, 1).over(win_in))
+
+    closes = d.groupBy(key, "_blk").agg(F.max_by(ts_col, F.col(idx_col)).alias("_close"))
+    win_blk = Window.partitionBy(key).orderBy("_blk")
+    carry = closes.withColumn("_prev_close", F.lag("_close", 1).over(win_blk)).select(
+        key, "_blk", "_prev_close"
+    )
+    d = d.join(carry, [key, "_blk"], "inner").withColumn(
+        "_prev_ts", F.coalesce("_prev_in", "_prev_close")
+    )
+    d = d.withColumn(
+        "_new",
+        F.when(F.col(ts_col) - F.col("_prev_ts") > gap_seconds, 1.0).otherwise(0.0),
+    )
+    out_df = blocked_prefix_sum(d, "_new", out, block_rows, key, idx_col)
+    return out_df.withColumn(out, F.col(out).cast("long")).drop(
+        "_prev_in", "_prev_close", "_prev_ts", "_new"
+    )
