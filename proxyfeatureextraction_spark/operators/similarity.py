@@ -93,29 +93,44 @@ def cosine_topk_lsh(
     embeddings: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane bucket signature, exact
-    re-rank within buckets. Bucket count = 2^n_planes; recall depends
-    on signature length (multi-probe/bands left as a tuning knob)."""
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` independent signatures buckets the vectors
+    (2^n_planes buckets); exact cosine re-ranks within each bucket and
+    a global window keeps the best k per vector across tables. Recall
+    rises as 1 − (1 − p^planes)^tables; candidate volume scales with
+    tables — the standard knob pair."""
     base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     first = base.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return base.sparkSession.createDataFrame([], TOPK_SCHEMA)
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, int(first["d"])))
+    planes = rng.normal(size=(n_tables, n_planes, int(first["d"])))
 
     def bucketize(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             ids, m = _normalized_matrix(pdf)
-            bits = (m @ planes.T) > 0
-            sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-            yield pd.DataFrame({"vec_id": ids, "bucket": sig.astype(np.int64),
-                                "embedding": pdf["embedding"].to_numpy()})
+            frames = []
+            for t in range(n_tables):
+                bits = (m @ planes[t].T) > 0
+                sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "bucket": (sig + (t << n_planes)).astype(np.int64),
+                            "embedding": pdf["embedding"].to_numpy(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     bucketed = base.mapInPandas(
         bucketize,
@@ -154,4 +169,14 @@ def cosine_topk_lsh(
             )
         return pd.concat(rows, ignore_index=True)
 
-    return bucketed.groupBy("bucket").applyInPandas(rerank, schema=TOPK_SCHEMA)
+    per_bucket = bucketed.groupBy("bucket").applyInPandas(rerank, schema=TOPK_SCHEMA)
+    # best k per vector across tables (dedupe identical pairs first)
+    from pyspark.sql import Window
+
+    best = per_bucket.groupBy("vec_id", "neighbor").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        best.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "neighbor", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
