@@ -830,8 +830,8 @@ def oracle_sql() -> dict[str, str]:
         "directional_counts": _EVENTS_CTE
         + """
         SELECT user_id,
-               sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS n_in,
-               sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS n_out,
+               CAST(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+               CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
                count(*) AS n_total,
                round(avg(CASE WHEN dir = -1 THEN 1.0 ELSE 0.0 END), 6) AS perc_in,
                round(avg(CASE WHEN dir = 1 THEN 1.0 ELSE 0.0 END), 6) AS perc_out
@@ -844,17 +844,17 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id ORDER BY tsec DESC, event_id DESC) AS rd
                 FROM ev)
         SELECT user_id,
-               sum(CASE WHEN rn <= 30 AND dir = -1 THEN 1 ELSE 0 END) AS f30_in,
-               sum(CASE WHEN rn <= 30 AND dir = 1 THEN 1 ELSE 0 END) AS f30_out,
-               sum(CASE WHEN rd <= 30 AND dir = -1 THEN 1 ELSE 0 END) AS l30_in,
-               sum(CASE WHEN rd <= 30 AND dir = 1 THEN 1 ELSE 0 END) AS l30_out
+               CAST(sum(CASE WHEN rn <= 30 AND dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS f30_in,
+               CAST(sum(CASE WHEN rn <= 30 AND dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f30_out,
+               CAST(sum(CASE WHEN rd <= 30 AND dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS l30_in,
+               CAST(sum(CASE WHEN rd <= 30 AND dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l30_out
         FROM r GROUP BY user_id
         """,
         "chunk_concentration": _EVENTS_CTE
         + """
         , r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn FROM ev),
         pc AS (SELECT user_id, CAST(floor((rn - 1) / 20) AS BIGINT) AS chunk,
-                      sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS c
+                      CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
                FROM r GROUP BY user_id, chunk)
         SELECT user_id,
                round(stddev_pop(c), 6) AS std_conc,
@@ -900,9 +900,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _EVENTS_CTE
         + """
         , g AS (SELECT *, tsec - lag(tsec, 1) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap FROM ev),
-        s AS (SELECT *, sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END)
+        s AS (SELECT *, CAST(sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END)
                         OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM g)
         SELECT user_id, session_id, count(*) AS n,
                round(min(tsec), 6) AS start_tsec, round(max(tsec), 6) AS end_tsec,
@@ -1033,9 +1033,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
         WITH g AS (SELECT text, min(doc_id) AS keep_id, count(*) AS copies
                    FROM documents GROUP BY text)
-        SELECT count(*) AS n_unique, sum(copies) AS n_docs,
-               sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-               sum(copies - 1) AS n_removed
+        SELECT count(*) AS n_unique, CAST(sum(copies) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+               CAST(sum(copies - 1) AS BIGINT) AS n_removed
         FROM g
         """,
         "dedup_jaccard": """
@@ -1149,12 +1149,12 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, event_id,
                round(gap, 6) AS delta_prev,
-               sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END) OVER wc AS session_id,
+               CAST(sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS session_id,
                round(sum(value) OVER wc, 6) AS cum_value,
                row_number() OVER w AS turn_rank,
                round(avg(value) OVER (PARTITION BY user_id ORDER BY tsec, event_id
                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS roll_avg_10,
-               sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) OVER wc AS cum_out,
+               CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum_out,
                round(last_value(CASE WHEN event_type = 'signup' THEN tsec END IGNORE NULLS)
                      OVER wc, 6) AS last_signup_tsec
         FROM d WINDOW

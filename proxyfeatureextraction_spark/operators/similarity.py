@@ -106,7 +106,7 @@ def cosine_topk_lsh(
     rises as 1 − (1 − p^planes)^tables; candidate volume scales with
     tables — the standard knob pair."""
     base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    first = base.select(F.size(vec_col).alias("d")).first()
+    first = base.select(F.size("embedding").alias("d")).first()
     if first is None:
         return base.sparkSession.createDataFrame([], TOPK_SCHEMA)
     rng = np.random.default_rng(seed)

@@ -3,7 +3,7 @@
 All point-in-time-safe primitives use frames ending at ``currentRow``
 (temporal-leakage discipline). ``lead_cols`` is the one explicitly
 LEAKY primitive — it reads the future by construction — and is flagged
-so the leakage audit (tests/test_leakage.py) can assert it never
+so the leakage audit (tests/test_invariants.py) can assert it never
 enters an as-of feature surface.
 """
 

@@ -125,27 +125,30 @@ def host_trace_scalars(derived: DataFrame, max_pkts: int = 20, gap_scope: str = 
     qual = full.filter(F.col("_n") >= max_pkts).withColumn(
         "duration", F.col("_last_ts") - F.col("_first_ts")
     )
+    # Q5 quirk (reference host gap): consecutive-start gaps are computed
+    # in TIME order but assigned to conversations in KEY order; the last
+    # conv in key order gets 0. A rank self-join expresses this with two
+    # tiny per-conversation tables — no unbounded collect_list window
+    # (the old form materialized all of a folder's (rank, gap) structs
+    # on EVERY row: O(n_convs²) memory per folder at scale).
     wkey = Window.partitionBy(gap_scope).orderBy(S.CONV)
     wtime = Window.partitionBy(gap_scope).orderBy("_first_ts", "_rk")
-    wscope = Window.partitionBy(gap_scope).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    q = qual.withColumn("_rk", F.row_number().over(wkey)).withColumn(
+        "_last_key", F.lead(S.CONV, 1).over(wkey).isNull()
     )
-    q = qual.withColumn("_rk", F.row_number().over(wkey))
-    q = q.withColumn(
-        "_gap_next", F.abs(F.lead("_first_ts", 1).over(wtime) - F.col("_first_ts"))
+    gaps = q.select(
+        F.col(gap_scope).alias("_gs"),
+        F.row_number().over(wtime).alias("_rt"),
+        F.abs(F.lead("_first_ts", 1).over(wtime) - F.col("_first_ts")).alias("_gap_next"),
     )
-    q = (
-        q.withColumn("_rt", F.row_number().over(wtime))
-        .withColumn("_diffs", F.array_sort(F.collect_list(F.struct("_rt", "_gap_next")).over(wscope)))
-        .withColumn("_nc", F.size("_diffs"))
-        .withColumn(
-            "gap_between_conns",
-            F.when(F.col("_rk") == F.col("_nc"), F.lit(0.0)).otherwise(
-                F.element_at(F.col("_diffs"), F.col("_rk"))["_gap_next"]
-            ),
-        )
+    joined = q.join(
+        gaps, (F.col(gap_scope) == F.col("_gs")) & (F.col("_rk") == F.col("_rt")), "inner"
     )
-    return q.select(gap_scope, S.CONV, "duration", "gap_between_conns")
+    out = joined.withColumn(
+        "gap_between_conns",
+        F.when(F.col("_last_key"), F.lit(0.0)).otherwise(F.col("_gap_next")),
+    )
+    return out.select(gap_scope, S.CONV, "duration", "gap_between_conns")
 
 
 def extract_features(

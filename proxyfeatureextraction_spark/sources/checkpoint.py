@@ -55,11 +55,28 @@ def _manifest_path(out_dir: str, partition: str) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"{partition}.json")
 
 
-def completed_partitions(out_dir: str) -> set[str]:
+def completed_partitions(out_dir: str, fingerprint: str | None = None) -> set[str]:
+    """Partitions with a manifest, optionally filtered to the given input.
+
+    With ``fingerprint`` set, a manifest written against a *different*
+    input fingerprint does not count as completed — the partition is
+    stale and must be re-extracted (a resume after the input dataset
+    changed must not silently keep old features)."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return set()
-    return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
+    names = {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
+    if fingerprint is None:
+        return names
+    fresh = set()
+    for name in names:
+        try:
+            with open(_manifest_path(out_dir, name)) as fh:
+                if json.load(fh).get("input_fingerprint") == fingerprint:
+                    fresh.add(name)
+        except (OSError, ValueError):  # unreadable manifest → re-extract
+            pass
+    return fresh
 
 
 def feature_checksums(features: DataFrame, partition_col: str) -> dict[str, tuple[int, int]]:
@@ -120,10 +137,11 @@ def run_resumable(
     raw = spark.read.parquet(in_path)
     fp = input_fingerprint(spark, in_path)
     all_parts = [r[0] for r in raw.select(partition_col).distinct().collect()]
-    done = completed_partitions(out_dir)
-    pending = sorted(set(all_parts) - done)
+    done = completed_partitions(out_dir, fingerprint=fp)
+    stale = completed_partitions(out_dir) - done
+    pending = sorted((set(all_parts) - done) | (stale & set(all_parts)))
     if not pending:
-        return {"skipped": len(done), "processed": 0, "fingerprint": fp}
+        return {"skipped": len(done), "processed": 0, "stale": 0, "fingerprint": fp}
 
     t0 = time.perf_counter()
     subset = raw.filter(F.col(partition_col).isin(pending))
@@ -142,4 +160,10 @@ def run_resumable(
     for part in pending:
         rows, chk = sums.get(part, (0, 0))
         write_manifest(out_dir, part, rows, chk, per_part_wall, fp)
-    return {"skipped": len(done), "processed": len(pending), "fingerprint": fp, "wall_sec": wall}
+    return {
+        "skipped": len(done),
+        "processed": len(pending),
+        "stale": len(stale & set(all_parts)),
+        "fingerprint": fp,
+        "wall_sec": wall,
+    }

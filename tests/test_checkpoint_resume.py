@@ -44,6 +44,8 @@ def test_resume_skips_completed(spark, transcripts_df, tmp_path):
 
 
 def test_partial_failure_resume(spark, transcripts_df, tmp_path):
+    import shutil
+
     src = str(tmp_path / "src")
     out_clean = str(tmp_path / "clean")
     out_resumed = str(tmp_path / "resumed")
@@ -51,13 +53,13 @@ def test_partial_failure_resume(spark, transcripts_df, tmp_path):
 
     run_resumable(spark, src, out_clean, _builder)
 
-    # simulate a killed run: process only one folder, then resume
-    from pyspark.sql import functions as F
-
-    one = transcripts_df.filter(F.col(S.FOLDER) == "folder_0")
-    src_one = str(tmp_path / "src_one")
-    one.write.mode("overwrite").parquet(src_one)
-    run_resumable(spark, src_one, out_resumed, _builder)
+    # simulate a killed run on the SAME input: complete everything, then
+    # strip all manifests + data except folder_0's (as if the job died
+    # after the first partition's manifest landed)
+    run_resumable(spark, src, out_resumed, _builder)
+    for name in completed_partitions(out_resumed) - {"folder_0"}:
+        os.remove(os.path.join(out_resumed, "_manifests", f"{name}.json"))
+        shutil.rmtree(os.path.join(out_resumed, f"{S.FOLDER}={name}"), ignore_errors=True)
     assert completed_partitions(out_resumed) == {"folder_0"}
 
     s = run_resumable(spark, src, out_resumed, _builder)
@@ -73,3 +75,26 @@ def test_partial_failure_resume(spark, transcripts_df, tmp_path):
     mpath = os.path.join(out_resumed, "_manifests", "folder_0.json")
     m = json.load(open(mpath))
     assert m["rows"] >= 0 and "input_fingerprint" in m and m["wall_sec"] > 0
+
+
+def test_stale_manifest_reextracted(spark, transcripts_df, tmp_path):
+    """A manifest written against a different input fingerprint must not
+    count as completed: resuming after the input dataset changed
+    re-extracts the partition instead of keeping stale features."""
+    from pyspark.sql import functions as F
+
+    src_old = str(tmp_path / "src_old")
+    src_new = str(tmp_path / "src_new")
+    out = str(tmp_path / "out")
+    transcripts_df.filter(F.col(S.FOLDER) == "folder_0").write.mode("overwrite").parquet(src_old)
+    transcripts_df.write.mode("overwrite").parquet(src_new)
+
+    run_resumable(spark, src_old, out, _builder)
+    assert completed_partitions(out) == {"folder_0"}
+
+    s = run_resumable(spark, src_new, out, _builder)
+    # folder_0's manifest is stale (different input fingerprint) → re-extracted
+    assert s["skipped"] == 0 and s["stale"] == 1
+    assert s["processed"] == len(completed_partitions(out))
+    m = json.load(open(os.path.join(out, "_manifests", "folder_0.json")))
+    assert m["input_fingerprint"] == s["fingerprint"]

@@ -32,6 +32,17 @@ def duck_conn(sf_dir: str):
     return con
 
 
+def _strict_strings(s: pd.Series) -> list[str]:
+    """Stringify a column the way the driver's value-hash sees it.
+
+    The driver stringifies raw cell values, so dtype leaks into the hash:
+    DuckDB sum(int) comes back float64 ("3.0") while Spark emits int64
+    ("3") — numerically equal, hash-different. This mode catches that
+    class locally (judge round-1 finding #1).
+    """
+    return ["∅" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v) for v in s]
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     errs = []
     if len(spark_pdf) != len(duck_pdf):
@@ -59,6 +70,12 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
                 else "?"
             )
             errs.append(f"values differ in column {c} ({mism} rows)")
+        elif _strict_strings(x) != _strict_strings(y):
+            errs.append(
+                f"hash-only mismatch in column {c}: values equal but stringify "
+                f"differently (dtypes {x.dtype} vs {y.dtype}) — the driver gate "
+                f"would mark hash_match:false"
+            )
     return errs
 
 
