@@ -92,35 +92,38 @@ def q_first_k(spark, sf_dir):
 
 
 def q_interarrival(spark, sf_dir):
-    """A6 inter-arrival stats over the first 20 turns, per direction."""
+    """A6 inter-arrival stats over the first 20 turns, per direction.
+
+    Single scan, single shuffle: both delta flavors are window columns
+    over the same first-20 slice (the per-dir window's clustering on
+    (user_id, dir) is satisfied by the user_id exchange — sort only),
+    and one groupBy computes all ten aggregates. Membership matches the
+    old per_dir ⋈ total inner join: users with ≥1 same-direction delta.
+    """
     e = _events(spark, sf_dir).withColumn("rn", F.row_number().over(_w())).filter("rn <= 20")
     wd = Window.partitionBy("user_id", "dir").orderBy("tsec", "event_id")
-    d = e.withColumn("delta", F.col("tsec") - F.lag("tsec").over(wd)).filter(
-        F.col("delta").isNotNull()
-    )
     wt = Window.partitionBy("user_id").orderBy("tsec", "event_id")
-    t = (
-        _events(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(_w()))
-        .filter("rn <= 20")
-        .withColumn("delta", F.col("tsec") - F.lag("tsec").over(wt))
-        .filter(F.col("delta").isNotNull())
+    d = e.withColumn("delta_dir", F.col("tsec") - F.lag("tsec").over(wd)).withColumn(
+        "delta_tot", F.col("tsec") - F.lag("tsec").over(wt)
     )
-    per_dir = d.groupBy("user_id").agg(
-        _R6(F.max(F.when(F.col("dir") == 1, F.col("delta"))), "max_out"),
-        _R6(F.avg(F.when(F.col("dir") == 1, F.col("delta"))), "avg_out"),
-        _R6(F.stddev_pop(F.when(F.col("dir") == 1, F.col("delta"))), "std_out"),
-        _R6(F.max(F.when(F.col("dir") == -1, F.col("delta"))), "max_in"),
-        _R6(F.avg(F.when(F.col("dir") == -1, F.col("delta"))), "avg_in"),
-        _R6(F.stddev_pop(F.when(F.col("dir") == -1, F.col("delta"))), "std_in"),
+    return (
+        d.groupBy("user_id")
+        .agg(
+            _R6(F.max(F.when(F.col("dir") == 1, F.col("delta_dir"))), "max_out"),
+            _R6(F.avg(F.when(F.col("dir") == 1, F.col("delta_dir"))), "avg_out"),
+            _R6(F.stddev_pop(F.when(F.col("dir") == 1, F.col("delta_dir"))), "std_out"),
+            _R6(F.max(F.when(F.col("dir") == -1, F.col("delta_dir"))), "max_in"),
+            _R6(F.avg(F.when(F.col("dir") == -1, F.col("delta_dir"))), "avg_in"),
+            _R6(F.stddev_pop(F.when(F.col("dir") == -1, F.col("delta_dir"))), "std_in"),
+            _R6(F.max("delta_tot"), "max_total"),
+            _R6(F.avg("delta_tot"), "avg_total"),
+            _R6(F.stddev_pop("delta_tot"), "std_total"),
+            _R6(F.expr("percentile(delta_tot, 0.75)"), "p75_total"),
+            F.count("delta_dir").alias("_nd"),
+        )
+        .filter(F.col("_nd") > 0)
+        .drop("_nd")
     )
-    total = t.groupBy("user_id").agg(
-        _R6(F.max("delta"), "max_total"),
-        _R6(F.avg("delta"), "avg_total"),
-        _R6(F.stddev_pop("delta"), "std_total"),
-        _R6(F.expr("percentile(delta, 0.75)"), "p75_total"),
-    )
-    return per_dir.join(total, "user_id", "inner")
 
 
 def q_directional_counts(spark, sf_dir):
@@ -470,20 +473,94 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
-    join). Deterministic xxhash64 signatures — no SQL oracle (DuckDB
-    lacks the hash family); rows-only check."""
+    """MinHash+LSH near-dup candidates (word→minhash→band→bucket join),
+    exact-dup pre-collapse + hot-bucket cap. Oracle-checkable: the
+    portable polynomial hash family has a bit-identical DuckDB twin
+    (built by _minhash_oracle())."""
     from proxyfeatureextraction_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_table(spark, sf_dir, "documents"))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash buckets: 16-bit simhash over word hashes; docs sharing a
-    bucket are near-dup candidates. rows-only check."""
+    """SimHash buckets: 16-bit simhash over portable word hashes; docs
+    sharing a bucket are near-dup candidates. Oracle-checkable
+    (_simhash_oracle())."""
     from proxyfeatureextraction_spark.operators.dedup import simhash_buckets
 
     return simhash_buckets(_table(spark, sf_dir, "documents"))
+
+
+def _word_hash_sql(word_expr: str) -> str:
+    """DuckDB twin of operators.dedup.portable_word_hash (char fold)."""
+    from proxyfeatureextraction_spark.operators.dedup import HASH_BASE, HASH_MOD
+
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({word_expr}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, x) -> (h * {HASH_BASE} + x) % {HASH_MOD})"
+    )
+
+
+def _minhash_oracle(n_perm: int = 16, bands: int = 4, max_bucket: int = 5000) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_candidates (defaults)."""
+    from proxyfeatureextraction_spark.operators.dedup import (
+        HASH_BASE,
+        HASH_MOD,
+        perm_params,
+    )
+
+    mins = ",\n               ".join(
+        f"min((h * {a} + {b}) % {HASH_MOD}) AS h{i}"
+        for i, (a, b) in ((j, perm_params(j)) for j in range(n_perm))
+    )
+    rpb = n_perm // bands
+    band_selects = []
+    for bi in range(bands):
+        sig = "CAST(0 AS BIGINT)"
+        for r in range(rpb):
+            sig = f"(({sig}) * {HASH_BASE} + h{bi * rpb + r}) % {HASH_MOD}"
+        band_selects.append(f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM mh")
+    bands_sql = "\n        UNION ALL ".join(band_selects)
+    return f"""
+        WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        w AS (SELECT doc_id, w FROM reps,
+                     UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
+              WHERE length(w) > 0),
+        wh AS (SELECT doc_id, {_word_hash_sql('w')} AS h FROM w),
+        mh AS (SELECT doc_id, {mins} FROM wh GROUP BY doc_id),
+        bands AS ({bands_sql}),
+        capped AS (SELECT *, count(*) OVER (PARTITION BY band, sig) AS _bn FROM bands)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        WHERE a._bn <= {max_bucket} AND b._bn <= {max_bucket}
+        """
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    """DuckDB twin of operators.dedup.simhash_buckets (defaults)."""
+    from proxyfeatureextraction_spark.operators.dedup import HASH_MOD, perm_params
+
+    a97, b97 = perm_params(97)
+    s_cols = ",\n               ".join(
+        f"sum(CASE WHEN (g >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sim_expr = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, w FROM documents,
+                          UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
+                   WHERE length(w) > 0),
+        wh AS (SELECT doc_id, (({_word_hash_sql('w')}) * {a97} + {b97}) % {HASH_MOD} AS g FROM w),
+        bits AS (SELECT doc_id, {s_cols} FROM wh GROUP BY doc_id),
+        sim AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM sim GROUP BY simhash
+        """
 
 
 def _cosine_pairs(spark, sf_dir):
@@ -1057,6 +1134,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE ninter * 1.0 / (sa.nw + sb.nw - ninter) >= 0.8
         """,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
         "similarity_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),

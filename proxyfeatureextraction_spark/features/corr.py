@@ -47,12 +47,24 @@ def corr_features(
     )
 
     gw_bins = gw.groupBy("_bin").agg(F.sum("_len").alias("gw_len"))
-    conn_bins = sliced.groupBy(S.CONV, "_bin").agg(
-        F.sum(F.col(S.N_CHARS).cast("double")).alias("rl_len")
+    # ONE pre-aggregate feeds both the bin table and the span table —
+    # the expensive gated-first-K window pass over the full data runs
+    # once. conn_pre is bounded (≤ pkt_limit rows per conversation), so
+    # persisting it is cheap and breaks the recompute diamond (its two
+    # consumers prune different columns, which defeats exchange reuse).
+    conn_pre = (
+        sliced.groupBy(S.CONV, "_bin")
+        .agg(
+            F.sum(F.col(S.N_CHARS).cast("double")).alias("rl_len"),
+            F.min(S.TS_SEC).alias("_bmin"),
+            F.max(S.TS_SEC).alias("_bmax"),
+        )
+        .persist()
     )
-    spans = sliced.groupBy(S.CONV).agg(
-        F.min(S.TS_SEC).alias("_tmin"),
-        (F.max(S.TS_SEC) + F.lit(1.0)).alias("_tmax1"),
+    conn_bins = conn_pre.select(S.CONV, "_bin", "rl_len")
+    spans = conn_pre.groupBy(S.CONV).agg(
+        F.min("_bmin").alias("_tmin"),
+        (F.max("_bmax") + F.lit(1.0)).alias("_tmax1"),
     )
 
     # gateway bins falling inside [tmin, tmax + 1.0] per conversation
@@ -67,6 +79,7 @@ def corr_features(
 
     merged = (
         slice_rows.join(conn_bins, [S.CONV, "_bin"], "full_outer")
+        .withColumn("_has_gw", F.col("gw_len").isNotNull())
         .withColumn("gw_len", F.coalesce("gw_len", F.lit(0.0)))
         .withColumn("rl_len", F.coalesce("rl_len", F.lit(0.0)))
     )
@@ -98,17 +111,22 @@ def corr_features(
             (F.max("_z") - F.min("_z")).alias("corr_range"),
             F.var_pop("_z").alias("corr_variance"),
             F.stddev_pop("_z").alias("corr_std_dev"),
+            F.max(F.col("_has_gw").cast("int")).alias("_cov"),
         )
     )
 
-    # conversations with an empty gateway slice → all-zero metrics.
-    # they have conn_bins rows but no slice_rows; detect via anti-join.
-    covered = slice_rows.select(S.CONV).distinct()
-    empties = spans.join(covered, S.CONV, "left_anti").select(
+    # conversations with an empty gateway slice → all-zero metrics
+    # (reference short-circuit, corr_extractor.py:89-90). Every gated
+    # conversation reaches `stats` through the conn side of the
+    # full-outer join, so coverage is just the aggregated _has_gw flag —
+    # no anti/semi-join re-reading slice_rows (which is the largest
+    # intermediate in the plan).
+    covered = F.col("_cov") == 1
+    return stats.select(
         S.CONV,
-        F.lit(0).alias("corr_count"),
-        *[F.lit(0.0).alias(c) for c in CORR_NAMES[1:]],
+        F.when(covered, F.col("corr_count")).otherwise(F.lit(0)).alias("corr_count"),
+        *[
+            F.when(covered, F.col(c)).otherwise(F.lit(0.0)).alias(c)
+            for c in CORR_NAMES[1:]
+        ],
     )
-    # stats for uncovered convs were computed over conn-only bins — drop
-    # them and substitute the zero rows (reference short-circuit).
-    return stats.join(covered, S.CONV, "left_semi").unionByName(empties)

@@ -3,19 +3,66 @@
 - ``exact_dedup``: content hash-groupBy (exact; fully distributed).
 - ``jaccard_pairs``: exact word-set Jaccard pairs via broadcast
   incidence matmul — the oracle-checkable baseline. Bounded by the
-  broadcast corpus (docs × vocab bits); beyond that use LSH.
-- ``minhash_lsh_candidates``: shingle → minhash → band → bucket-join,
-  deterministic xxhash64 permutations — the 100 TB scale path.
-- ``simhash_buckets``: 16..64-bit simhash bucketing.
+  broadcast corpus (docs × vocab bits) and guarded by a fail-fast
+  size check; beyond the bound use LSH.
+- ``minhash_lsh_candidates``: word → minhash → band → bucket-join —
+  the 100 TB scale path. Permutations use a PORTABLE polynomial hash
+  (char-fold mod 1e9+7, bit-identical in DuckDB list SQL) so the full
+  pipeline is oracle-checkable; exact duplicates are pre-collapsed and
+  hot band-buckets capped so a degenerate corpus (millions of identical
+  or same-word-set docs) cannot make the candidate self-join quadratic.
+- ``simhash_buckets``: 16..64-bit simhash bucketing (same portable hash).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: modulus shared by every portable hash below and their DuckDB twins
+HASH_MOD = 1_000_000_007
+#: multiplier for the char fold and signature folds
+HASH_BASE = 131
+#: Knuth multiplicative constant, used to derive permutation params
+_PERM_A = 2_654_435_761
+_PERM_B = 40_503
+
+
+def portable_word_hash(col) -> Column:
+    """Order-sensitive polynomial hash of a string, mod 1e9+7.
+
+    ``h = fold(chars, 0, (h, c) -> (h*131 + codepoint(c)) mod M)`` —
+    pure JVM higher-order functions here, and bit-identical in DuckDB as
+    ``list_reduce(list_prepend(0, list_transform(string_split(w, ''),
+    c -> ascii(c))), (h, x) -> (h*131 + x) % M)``. This portability is
+    what makes the MinHash/SimHash pipelines oracle-checkable end-to-end.
+    """
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda h, x: (h * HASH_BASE + x) % F.lit(HASH_MOD),
+    )
+
+
+def perm_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i of the minhash family."""
+    return (_PERM_A * (i + 1)) % HASH_MOD, (_PERM_B * (i * i + 1)) % HASH_MOD
+
+
+def _perm(h: Column, i: int) -> Column:
+    a, b = perm_params(i)
+    return (h * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)
+
+
+def _fold_sig(cols: list[Column]) -> Column:
+    """Combine hash columns into one band signature (poly fold mod M)."""
+    s = F.lit(0).cast("long")
+    for c in cols:
+        s = (s * HASH_BASE + c) % F.lit(HASH_MOD)
+    return s
 
 
 def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -38,19 +85,36 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 6,
+    max_docs: int = 200_000,
+    max_vocab: int = 500_000,
 ) -> DataFrame:
     """Exact word-set Jaccard ≥ threshold pairs (doc_a < doc_b).
 
     Incidence matrices multiply per Arrow batch against a broadcast
     corpus incidence — one integer matmul replaces the word-level
     self-join's quadratic shuffle.
+
+    This is the EXACT BASELINE, bounded by the driver-side corpus
+    collect (docs × vocab int32). A fail-fast guard enforces the bound
+    BEFORE anything is collected; past it, raise with a pointer to the
+    distributed path (``minhash_lsh_candidates`` + exact pair-verify).
+    Pass ``max_docs=None`` to disable (only for trusted small inputs).
     """
     spark = df.sparkSession
-    sets = (
-        _words(df, id_col, text_col)
-        .groupBy("doc_id")
-        .agg(F.collect_set("w").alias("ws"))
-    )
+    words = _words(df, id_col, text_col)
+    if max_docs is not None:
+        n_docs, n_vocab = words.agg(
+            F.countDistinct("doc_id"), F.countDistinct("w")
+        ).first()
+        if n_docs > max_docs or n_vocab > (max_vocab or n_vocab):
+            raise ValueError(
+                f"jaccard_pairs corpus exceeds the exact-baseline bound "
+                f"({n_docs} docs / {n_vocab} vocab vs max {max_docs}/{max_vocab}): "
+                f"the docs×vocab incidence no longer fits the driver. Use "
+                f"minhash_lsh_candidates() and verify candidate pairs exactly "
+                f"with a distributed join instead."
+            )
+    sets = words.groupBy("doc_id").agg(F.collect_set("w").alias("ws"))
     corpus = sets.toPandas()
     if corpus.empty:
         return spark.createDataFrame(
@@ -112,15 +176,34 @@ def minhash_lsh_candidates(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = 5_000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: per-band signature equality join.
 
     Fully distributed (no broadcast): scales to arbitrary corpus size;
-    band count trades recall vs candidate volume.
+    band count trades recall vs candidate volume. Deterministic and
+    oracle-checkable: permutations are affine maps of the portable
+    polynomial word hash (``portable_word_hash``), so DuckDB reproduces
+    every signature bit-for-bit.
+
+    Two skew guards keep the self-join from going quadratic on a
+    degenerate corpus (e.g. millions of identical spam docs):
+
+    - ``collapse_exact``: exact duplicates are collapsed to one
+      representative (min id) per distinct text BEFORE hashing — exact
+      copies are already handled by ``exact_dedup`` and would otherwise
+      all land in the same bucket in every band;
+    - ``max_bucket``: band-buckets holding more than this many docs are
+      dropped from the join (standard LSH hot-bucket cap; such buckets
+      carry near-zero information and unbounded cost). ``None`` disables.
     """
-    w = _words(df, id_col, text_col)
+    base = df
+    if collapse_exact:
+        base = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    w = _words(base, id_col, text_col).withColumn("_h", portable_word_hash("w"))
     mh = w.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"h{i}") for i in range(n_perm)]
+        *[F.min(_perm(F.col("_h"), i)).alias(f"h{i}") for i in range(n_perm)]
     )
     rows_per_band = n_perm // bands
     bands_df = mh.select(
@@ -130,8 +213,8 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                        _fold_sig(
+                            [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("sig"),
                     )
                     for bi in range(bands)
@@ -139,6 +222,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+    if max_bucket is not None:
+        bands_df = (
+            bands_df.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(
@@ -155,10 +246,16 @@ def minhash_lsh_candidates(
 def simhash_buckets(
     df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """SimHash bucket table: (simhash, n_docs, keep_id)."""
-    w = _words(df, id_col, text_col)
+    """SimHash bucket table: (simhash, n_docs, keep_id).
+
+    Word hashes come from an extra permutation of the portable
+    polynomial hash (index ``n_perm``-independent constant 97), so the
+    whole pipeline — bit extraction, ±1 sums, sign recombination — has
+    a bit-identical DuckDB twin.
+    """
+    w = _words(df, id_col, text_col).withColumn("_g", _perm(portable_word_hash("w"), 97))
     bit_cols = [
-        F.when(F.shiftright(F.xxhash64("w"), i).bitwiseAND(F.lit(1)) == 1, 1)
+        F.when(F.shiftright(F.col("_g"), i).bitwiseAND(F.lit(1)) == 1, 1)
         .otherwise(-1)
         .alias(f"b{i}")
         for i in range(bits)

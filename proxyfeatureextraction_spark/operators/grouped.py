@@ -36,6 +36,7 @@ def map_whole_groups(
     key_col: str = S.CONV,
     partitions: int | None = None,
     order_cols: tuple[str, ...] | None = None,
+    pre_ordered: bool = False,
 ) -> DataFrame:
     """Apply ``kernel(batch_pdf) -> feature_pdf`` over canonical-ordered
     batches that contain only WHOLE groups.
@@ -45,8 +46,16 @@ def map_whole_groups(
     (key, *order_cols) when ``order_cols`` overrides the canonical pair
     (pass ``()`` for order-insensitive kernels) — and returns any
     number of output rows matching ``out_schema``.
+
+    ``pre_ordered=True`` skips the repartition+sort entirely: the caller
+    GUARANTEES ``df`` is already hash-clustered by ``key_col`` with each
+    group's rows contiguous and in kernel order (true for the output of
+    any window over ``conv_window()`` — the window's own exchange+sort
+    established exactly that layout). Saves a full shuffle of the input.
     """
-    if order_cols is not None:
+    if pre_ordered:
+        ordered = df
+    elif order_cols is not None:
         parts = [partitions] if partitions else []
         ordered = df.repartition(*parts, key_col).sortWithinPartitions(key_col, *order_cols)
     else:

@@ -64,18 +64,68 @@ def fused_slice_features(
     pkt_limit: int = 20,
     comp_pkts_limit: int = 50,
     gw: bool = False,
+    include_rtt: bool = False,
 ) -> DataFrame:
     """conv_id + Hayes(150) + SLT(155) + host-slice(19) in one pass.
 
     Hayes/host columns are NULL for conversations below the ≥pkt_limit
     gate (SLT has no gate — reference behavior).
+
+    One exchange total: the windows' own exchange+sort establishes the
+    conv-clustered canonical layout, the ≤comp_pkts_limit filter
+    preserves it, and the Arrow kernel consumes it directly
+    (``pre_ordered=True`` — no second repartition of the slice).
+
+    ``include_rtt=True`` additionally computes the RTT-ratio scalar
+    (features/rtt.py semantics, reference ``thesis_extractor.py:13-125``)
+    as pure JVM window columns on the SAME pass — trip flags and the two
+    first-trip deltas are unbounded-frame window aggregates over the
+    full conversation, evaluated before the slice filter — and passes
+    the per-conversation result through the kernel. This folds what was
+    a separate full-data shuffle into the existing one.
     """
     w = conv_window()
-    sliced = (
-        derived.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(S.CONV)))
-        .filter(F.col("_rn") <= comp_pkts_limit)
-        .select(S.CONV, S.TURN, S.TS, S.TS_SEC, S.DIR, S.N_CHARS, "_n")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    enriched = derived.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(S.CONV))
+    )
+    passthrough: list[str] = []
+    if include_rtt:
+        trip = (F.col("_d1") == -F.col(S.DIR)) & (F.col("_d2") == -F.col(S.DIR))
+        enriched = (
+            enriched.withColumn("_d1", F.lead(S.DIR, 1).over(w))
+            .withColumn("_d2", F.lead(S.DIR, 2).over(w))
+            .withColumn("_t1", F.lead(S.TS_SEC, 1).over(w))
+            .withColumn("_t2", F.lead(S.TS_SEC, 2).over(w))
+            .withColumn("_trip", trip)
+            .withColumn("_ktrip", F.sum(F.when(F.col("_trip"), 1).otherwise(0)).over(w))
+            .withColumn("_ntrip", F.sum(F.when(F.col("_trip"), 1).otherwise(0)).over(wfull))
+            .withColumn(
+                "_delta1",
+                F.max(
+                    F.when(F.col("_trip") & (F.col("_ktrip") == 1), F.col("_t1") - F.col(S.TS_SEC))
+                ).over(wfull),
+            )
+            .withColumn(
+                "_delta2",
+                F.max(
+                    F.when(F.col("_trip") & (F.col("_ktrip") == 2), F.col("_t2") - F.col(S.TS_SEC))
+                ).over(wfull),
+            )
+            .withColumn(
+                "rtt_ratio",
+                F.when(
+                    (F.col("_n") >= pkt_limit)
+                    & (F.col("_ntrip") >= 2)
+                    & (F.col("_delta2") != 0),
+                    F.col("_delta1") / F.col("_delta2"),
+                ),
+            )
+        )
+        passthrough = ["rtt_ratio"]
+
+    sliced = enriched.filter(F.col("_rn") <= comp_pkts_limit).select(
+        S.CONV, S.TURN, S.TS, S.TS_SEC, S.DIR, S.N_CHARS, "_n", *passthrough
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -104,13 +154,19 @@ def fused_slice_features(
             else pd.DataFrame(columns=[S.CONV, *HOST_SLICE_COLS])
         )
         out = slt.merge(hayes, on=S.CONV, how="left").merge(host, on=S.CONV, how="left")
-        return out[[S.CONV, *HAYES_NAMES, *SLT_NAMES, *HOST_SLICE_COLS]]
+        if passthrough:
+            scal = pdf.iloc[starts][[S.CONV, *passthrough]]
+            out = out.merge(scal, on=S.CONV, how="left")
+        return out[[S.CONV, *HAYES_NAMES, *SLT_NAMES, *HOST_SLICE_COLS, *passthrough]]
 
     schema = T.StructType(
         [T.StructField(S.CONV, T.StringType())]
-        + [T.StructField(n, T.DoubleType()) for n in (*HAYES_NAMES, *SLT_NAMES, *HOST_SLICE_COLS)]
+        + [
+            T.StructField(n, T.DoubleType())
+            for n in (*HAYES_NAMES, *SLT_NAMES, *HOST_SLICE_COLS, *passthrough)
+        ]
     )
-    return map_whole_groups(sliced, kernel, schema)
+    return map_whole_groups(sliced, kernel, schema, pre_ordered=True)
 
 
 def host_trace_scalars(derived: DataFrame, max_pkts: int = 20, gap_scope: str = S.FOLDER) -> DataFrame:
@@ -158,15 +214,20 @@ def extract_features(
     comp_pkts_limit: int = 50,
     gw: bool = False,
 ) -> DataFrame:
-    """The full per-conversation feature table (all five families)."""
-    from proxyfeatureextraction_spark.features.corr import corr_features
-    from proxyfeatureextraction_spark.features.rtt import rtt_features
+    """The full per-conversation feature table (all five families).
 
-    sliced = fused_slice_features(derived, pkt_limit, comp_pkts_limit, gw)
+    Plan shape (scale-first): ONE full-data exchange — the canonical
+    conv_id shuffle inside ``fused_slice_features`` — carries the 324
+    slice columns AND the RTT scalar (JVM window columns, folded in via
+    ``include_rtt``). Host duration + Q5 gap run as a map-side-combined
+    groupBy whose shuffle volume is one row per conversation, then join
+    back per-conv. Nothing re-shuffles the full turn table twice.
+    """
+    from proxyfeatureextraction_spark.features.corr import corr_features
+
+    sliced = fused_slice_features(derived, pkt_limit, comp_pkts_limit, gw, include_rtt=True)
     scalars = host_trace_scalars(derived, max_pkts=pkt_limit)
-    out = sliced.join(scalars, S.CONV, "left").join(
-        rtt_features(derived, pkt_limit), S.CONV, "left"
-    )
+    out = sliced.join(scalars, S.CONV, "left")
     if gateway is not None:
         out = out.join(corr_features(derived, gateway, pkt_limit), S.CONV, "left")
     return out

@@ -63,3 +63,12 @@ def test_extract_features_full(derived):
     np.testing.assert_allclose(
         got["gap_between_conns"], host["gap_between_conns"], atol=1e-9
     )
+    # the RTT scalar folded into the fused pass equals the standalone op
+    from proxyfeatureextraction_spark.features.rtt import rtt_features
+
+    rtt = rtt_features(derived).toPandas().set_index(S.CONV)
+    all_rtt = pdf.set_index(S.CONV)["rtt_ratio"]
+    assert len(rtt), "fixture produced no RTT-qualifying conversations"
+    np.testing.assert_allclose(all_rtt.loc[rtt.index], rtt["rtt_ratio"], atol=1e-9)
+    # convs absent from the standalone output carry NULL in the fused one
+    assert all_rtt.drop(rtt.index).isna().all()
