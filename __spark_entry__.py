@@ -91,6 +91,42 @@ def q_first_k(spark, sf_dir):
     )
 
 
+def q_flow_pairs(spark, sf_dir):
+    """W10 padded ordered collect: first-20 (value, tsec, dir) triples
+    per user, zero-padded to 20 rows (reference
+    ``dl_experiments.py:460-481`` tensor build), exploded back to
+    scalar rows so the driver gate can hash them. collect_list is
+    bounded by the first-K slice — never a whole-group array."""
+    k = 20
+    e = _events(spark, sf_dir).withColumn("rn", F.row_number().over(_w())).filter(
+        F.col("rn") <= k
+    )
+    triple = F.struct(
+        F.col("rn").alias("o"),
+        F.array(
+            F.round(F.col("value"), 6),
+            F.round(F.col("tsec"), 6),
+            F.col("dir").cast("double"),
+        ).alias("v"),
+    )
+    conv = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(triple)).alias("_rows"),
+        F.count(F.lit(1)).alias("n_flow"),
+    )
+    zeros = F.array_repeat(F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)), k)
+    padded = F.slice(F.concat(F.transform("_rows", lambda r: r["v"]), zeros), 1, k)
+    return conv.select(
+        "user_id", "n_flow", F.posexplode(padded).alias("p", "v")
+    ).select(
+        "user_id",
+        (F.col("p") + 1).alias("pos"),
+        F.col("v")[0].alias("f_value"),
+        F.col("v")[1].alias("f_tsec"),
+        F.col("v")[2].alias("f_dir"),
+        "n_flow",
+    )
+
+
 def q_interarrival(spark, sf_dir):
     """A6 inter-arrival stats over the first 20 turns, per direction.
 
@@ -820,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gate_counts": q_gate_counts,
         "first_k": q_first_k,
+        "flow_pairs": q_flow_pairs,
         "interarrival": q_interarrival,
         "directional_counts": q_directional_counts,
         "first_last_30": q_first_last_30,
@@ -876,6 +913,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value_20,
                round(max(tsec), 6) AS last_tsec_20
         FROM r WHERE rn <= 20 GROUP BY user_id
+        """,
+        "flow_pairs": _EVENTS_CTE
+        + """
+        , r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn FROM ev),
+        s AS (SELECT user_id, rn, value, tsec, dir FROM r WHERE rn <= 20),
+        n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_flow FROM s GROUP BY user_id),
+        pos AS (SELECT user_id, n_flow, CAST(p AS BIGINT) AS pos
+                FROM n, UNNEST(range(1, 21)) AS t(p))
+        SELECT pos.user_id, pos.pos,
+               round(coalesce(s.value, 0.0), 6) AS f_value,
+               round(coalesce(s.tsec, 0.0), 6) AS f_tsec,
+               CAST(coalesce(s.dir, 0) AS DOUBLE) AS f_dir,
+               pos.n_flow
+        FROM pos LEFT JOIN s ON s.user_id = pos.user_id AND s.rn = pos.pos
         """,
         "interarrival": _EVENTS_CTE
         + """

@@ -69,6 +69,49 @@ def write_features(
     w.parquet(path)
 
 
+def scan_feature_csvs(
+    spark: SparkSession, path: str, feature_type: str, gateway: bool = False
+) -> DataFrame:
+    """S6: the reference's filename-pattern feature scan, semantics-exact
+    (``classification/data.py:10-15,35-50``): a CSV is selected iff
+    ``feature_type`` is a SUBSTRING of its name (so ``ta`` also matches
+    ``delta_bg.csv`` — reference quirk, preserved) and it carries a
+    ``bg``/``relay`` marker, checked in that order (a name with both
+    markers counts as background). Gateway files match on ``gateway``
+    alone. Returns the union with a ``source`` discriminator column.
+
+    The directory listing is driver-side (manifest-sized); each file is
+    still read distributed."""
+    import os
+
+    selected: list[tuple[str, str]] = []
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".csv"):
+            continue
+        if gateway:
+            if "gateway" in fn:
+                selected.append((fn, "proxy"))
+        elif feature_type in fn and "bg" in fn:
+            selected.append((fn, "background"))
+        elif feature_type in fn and "relay" in fn:
+            selected.append((fn, "relayed"))
+    frames = [
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .csv(os.path.join(path, fn))
+        .withColumn(S.SOURCE, F.lit(src))
+        for fn, src in selected
+    ]
+    if not frames:
+        raise FileNotFoundError(
+            f"no CSV in {path} matches feature_type={feature_type!r} (gateway={gateway})"
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def read_feature_table(
     spark: SparkSession,
     path: str,
