@@ -64,11 +64,17 @@ def test_exact_copies_collapse_before_hashing(adversarial_docs):
 
 
 def test_jaccard_guard_fails_fast(adversarial_docs):
+    # the fixture's 520 docs collapse to 13 distinct word-sets — the
+    # guard bounds what is actually collected (distinct sets), so a
+    # billion exact copies would NOT trip it, but 13 > 10 does
     with pytest.raises(ValueError, match="minhash_lsh_candidates"):
-        jaccard_pairs(adversarial_docs, max_docs=10).count()
+        jaccard_pairs(adversarial_docs, max_sets=10).count()
     # vocab bound triggers independently
     with pytest.raises(ValueError, match="vocab"):
-        jaccard_pairs(adversarial_docs, max_docs=100_000, max_vocab=5).count()
+        jaccard_pairs(adversarial_docs, max_sets=100_000, max_vocab=5).count()
+    # cells bound (sets × vocab driver footprint) triggers independently
+    with pytest.raises(ValueError, match="cells"):
+        jaccard_pairs(adversarial_docs, max_cells=50).count()
 
 
 def test_jaccard_guard_disabled_still_works(spark):
@@ -76,5 +82,28 @@ def test_jaccard_guard_disabled_still_works(spark):
         [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
         "doc_id long, text string",
     )
-    out = jaccard_pairs(df, max_docs=None).collect()
+    out = jaccard_pairs(df, max_sets=None).collect()
     assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+
+
+def test_jaccard_set_collapse_matches_bruteforce(spark):
+    """Distinct-set collapse + JVM expansion must equal per-doc brute
+    force, including same-set pairs (jaccard exactly 1.0), cross-set
+    pairs in both id orders, and empty docs never pairing."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "e d c b a"),          # same set as 1 -> 1.0
+        (3, "a b c d"),            # 4/5 = 0.8 vs 1,2
+        (4, ""),                   # empty: never pairs
+        (5, "   "),                # whitespace-only: never pairs
+        (6, "a b c d e"),          # same set as 1,2
+        (7, "x y z"),
+    ]
+    out = jaccard_pairs(
+        spark.createDataFrame(rows, "doc_id long, text string"), threshold=0.8
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert got == {
+        (1, 2): 1.0, (1, 6): 1.0, (2, 6): 1.0,
+        (1, 3): 0.8, (2, 3): 0.8, (3, 6): 0.8,
+    }
