@@ -631,6 +631,21 @@ def q_similarity_topk(spark, sf_dir):
     return cosine_topk_bruteforce(_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_similarity_ann_lsh(spark, sf_dir):
+    """Multi-table random-hyperplane LSH ANN (the 100 TB similarity
+    path): portable integer-hash planes bucket each vector 8× (8 planes
+    → 256 buckets/table), exact cosine re-ranks per bucket, a global
+    window merges the best 5 per vector. Fully distributed — no
+    broadcast of the corpus. Oracle: DuckDB rebuilds the identical
+    planes/buckets with integer arithmetic (cf. operators/similarity.py
+    portable_planes)."""
+    from proxyfeatureextraction_spark.operators.similarity import cosine_topk_lsh
+
+    return cosine_topk_lsh(
+        _table(spark, sf_dir, "embeddings"), k=5, n_planes=8, n_tables=8, seed=42
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs above threshold."""
     pairs = _cosine_pairs(spark, sf_dir).filter(
@@ -885,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "text_quality": q_text_quality,
         "token_count_regex": q_token_count_regex,
@@ -1201,6 +1217,51 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                                            ORDER BY cos_r DESC, neighbor ASC) AS rk
               FROM p)
+        SELECT vec_id, neighbor, cos_r AS cosine, rk FROM r WHERE rk <= 5
+        """,
+        # Planes: value(t,p,d) = 2·((A·idx + B·(seed+1)) mod M)/M − 1 with
+        # idx=(t·8+p)·64+d, A=2654435761 mod M, B=40503, seed=42, M=1e9+7 —
+        # bit-identical to operators/similarity.py portable_planes. dim=64
+        # is hardcoded (DuckDB forbids subqueries inside lambdas); the
+        # testdata embeddings are 64-dim at every SF.
+        "similarity_ann_lsh": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        planes AS (
+          SELECT t.t, p.p,
+                 list_transform(range(0, 64),
+                   dd -> 2.0 * CAST((654435747 * ((t.t * 8 + p.p) * 64 + dd)
+                                     + 1741629) % 1000000007 AS DOUBLE)
+                         / 1000000007 - 1.0) AS pv
+          FROM range(0, 8) t(t), range(0, 8) p(p)
+        ),
+        bits AS (
+          SELECT e.vec_id, pl.t,
+                 CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.v, pl.pv),
+                                                            z -> z[1] * z[2])) > 0
+                               THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, planes pl
+          GROUP BY e.vec_id, pl.t
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor
+          FROM bits a JOIN bits b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+          SELECT c.vec_id, c.neighbor,
+                 round(list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1]*z[2]))
+                       / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+                          * sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 6) AS cos_r
+          FROM cand c
+          JOIN e ea ON c.vec_id = ea.vec_id
+          JOIN e eb ON c.neighbor = eb.vec_id
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_r DESC, neighbor ASC) AS rk
+              FROM scored)
         SELECT vec_id, neighbor, cos_r AS cosine, rk FROM r WHERE rk <= 5
         """,
         "embedding_dup_pairs": """

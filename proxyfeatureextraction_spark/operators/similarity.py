@@ -9,8 +9,10 @@ Two paths:
   Broadcast bound: n_candidates × dim × 8 bytes must fit an executor
   (~100 MB ≈ 200k × 64-dim). Beyond that, use the LSH path.
 - ``cosine_topk_lsh``: random-hyperplane LSH bucketing (deterministic
-  seeded planes), candidates restricted to same-bucket pairs — the
-  scale path; approximate.
+  PORTABLE planes — affine integer hash mod 1e9+7 mapped to [-1, 1),
+  bit-identical in DuckDB SQL, so the full bucket→rerank→merge pipeline
+  is oracle-checkable), candidates restricted to same-bucket pairs —
+  the scale path; approximate.
 """
 
 from __future__ import annotations
@@ -20,6 +22,30 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: plane-hash constants (shared with the DuckDB oracle in __spark_entry__)
+PLANE_MOD = 1_000_000_007
+PLANE_A = 2_654_435_761 % PLANE_MOD
+PLANE_B = 40_503
+
+
+def portable_planes(n_tables: int, n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes, reproducible in SQL.
+
+    ``value(t, p, d) = 2·h/M − 1`` with ``h = (A·idx + B·(seed+1)) mod M``
+    and ``idx = (t·n_planes + p)·dim + d`` — uniform in [-1, 1). Sign-LSH
+    only needs a symmetric non-degenerate direction distribution, so the
+    uniform cube works in place of Gaussian planes; the payoff is that
+    DuckDB can rebuild every plane bit-for-bit with integer arithmetic
+    (same trick as operators/dedup.py's portable_word_hash).
+    """
+    idx = (
+        (np.arange(n_tables, dtype=np.int64)[:, None, None] * n_planes
+         + np.arange(n_planes, dtype=np.int64)[None, :, None]) * dim
+        + np.arange(dim, dtype=np.int64)[None, None, :]
+    )
+    h = (PLANE_A * idx + PLANE_B * (seed + 1)) % PLANE_MOD
+    return 2.0 * h / PLANE_MOD - 1.0
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -109,8 +135,7 @@ def cosine_topk_lsh(
     first = base.select(F.size("embedding").alias("d")).first()
     if first is None:
         return base.sparkSession.createDataFrame([], TOPK_SCHEMA)
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, int(first["d"])))
+    planes = portable_planes(n_tables, n_planes, int(first["d"]), seed=seed)
 
     def bucketize(batches):
         for pdf in batches:
