@@ -86,6 +86,25 @@ def test_jaccard_guard_disabled_still_works(spark):
     assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
 
 
+def test_jaccard_expansion_plan_is_equi_join(spark):
+    """Scale audit: the set-pair → doc-pair expansion must be equi-joins
+    (hash/sort-merge, shuffle-able across executors), never a
+    BroadcastNestedLoopJoin or CartesianProduct — those would make the
+    expansion O(docs × pairs) on one executor at scale."""
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} common") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        jaccard_pairs(df, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "broadcastnestedloopjoin" not in plan and "cartesianproduct" not in plan
+
+
 def test_jaccard_set_collapse_matches_bruteforce(spark):
     """Distinct-set collapse + JVM expansion must equal per-doc brute
     force, including same-set pairs (jaccard exactly 1.0), cross-set
