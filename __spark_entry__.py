@@ -646,6 +646,18 @@ def q_similarity_ann_lsh(spark, sf_dir):
     )
 
 
+def q_similarity_ann_ivf(spark, sf_dir):
+    """IVF ANN (second scale path, complements LSH): deterministic
+    sampled centroids (16 lowest ids), symmetric 2-probe cell
+    assignment by rounded cosine, exact re-rank per cell, global top-5
+    merge. Only the 16×64 centroid matrix is broadcast."""
+    from proxyfeatureextraction_spark.operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(
+        _table(spark, sf_dir, "embeddings"), k=5, n_cells=16, n_probe=2
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs above threshold."""
     pairs = _cosine_pairs(spark, sf_dir).filter(
@@ -901,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "text_quality": q_text_quality,
         "token_count_regex": q_token_count_regex,
@@ -1249,6 +1262,49 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor
           FROM bits a JOIN bits b
             ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+          SELECT c.vec_id, c.neighbor,
+                 round(list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1]*z[2]))
+                       / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+                          * sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 6) AS cos_r
+          FROM cand c
+          JOIN e ea ON c.vec_id = ea.vec_id
+          JOIN e eb ON c.neighbor = eb.vec_id
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos_r DESC, neighbor ASC) AS rk
+              FROM scored)
+        SELECT vec_id, neighbor, cos_r AS cosine, rk FROM r WHERE rk <= 5
+        """,
+        # Centroids = the 16 lowest vec_ids (deterministic k-means init;
+        # see operators/similarity.py cosine_topk_ivf). Cell ranking uses
+        # round(cos, 6) in BOTH engines so ties resolve identically.
+        "similarity_ann_ivf": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16
+        ),
+        assign0 AS (
+          SELECT e.vec_id, c.cid,
+                 round(list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2]))
+                       / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                          * sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) AS cos_c
+          FROM e CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_c DESC, cid ASC) AS pr
+          FROM assign0
+        ),
+        cells AS (SELECT vec_id, cid FROM assign WHERE pr <= 2),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor
+          FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
         ),
         scored AS (
           SELECT c.vec_id, c.neighbor,

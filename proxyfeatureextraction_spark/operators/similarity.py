@@ -13,6 +13,10 @@ Two paths:
   bit-identical in DuckDB SQL, so the full bucket→rerank→merge pipeline
   is oracle-checkable), candidates restricted to same-bucket pairs —
   the scale path; approximate.
+- ``cosine_topk_ivf``: inverted-file cell search with deterministic
+  sampled centroids and symmetric multi-probe — the second scale path
+  (better for clustered corpora; LSH for adversarially uniform ones).
+  Both share the per-bucket exact-rerank + global-merge tail.
 """
 
 from __future__ import annotations
@@ -168,6 +172,16 @@ def cosine_topk_lsh(
         ),
     )
 
+    return _bucketed_topk(bucketed, k)
+
+
+def _bucketed_topk(bucketed: DataFrame, k: int) -> DataFrame:
+    """Shared ANN tail: exact-cosine re-rank inside each bucket/cell
+    (Arrow grouped-map), then a global per-vector merge of the best k
+    across buckets. Per-bucket truncation at k is lossless for the
+    final top-k: a neighbor's rank within any bucket is ≤ its rank over
+    the union of that vector's candidates (same total order)."""
+
     def rerank(key, pdf: pd.DataFrame) -> pd.DataFrame:
         del key
         if len(pdf) < 2:
@@ -195,7 +209,7 @@ def cosine_topk_lsh(
         return pd.concat(rows, ignore_index=True)
 
     per_bucket = bucketed.groupBy("bucket").applyInPandas(rerank, schema=TOPK_SCHEMA)
-    # best k per vector across tables (dedupe identical pairs first)
+    # best k per vector across buckets (dedupe identical pairs first)
     from pyspark.sql import Window
 
     best = per_bucket.groupBy("vec_id", "neighbor").agg(F.max("cosine").alias("cosine"))
@@ -205,3 +219,72 @@ def cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("vec_id", "neighbor", "cosine", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: IVF (inverted-file) cell search.
+
+    Centroids are a DETERMINISTIC sample — the ``n_cells`` lowest ids
+    (k-means init is a random sample; pinning it keeps the whole
+    pipeline oracle-checkable in SQL, and k-means refinement iterations
+    would just be repeated Spark jobs over the same assignment step at
+    deploy time). Every vector joins its ``n_probe`` nearest cells by
+    exact cosine-to-centroid (symmetric multi-probe: candidates are
+    same-cell co-members), then the shared rerank/merge tail produces
+    the best k. The centroid matrix (n_cells × dim) is the only
+    broadcast — O(cells), never O(corpus)."""
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cent_pdf = (
+        base.orderBy("vec_id")
+        .limit(n_cells)
+        .toPandas()
+        .sort_values("vec_id", kind="stable")  # positional index == id order
+        .reset_index(drop=True)
+    )
+    if cent_pdf.empty:
+        return base.sparkSession.createDataFrame([], TOPK_SCHEMA)
+    _, cmat = _normalized_matrix(cent_pdf)
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    b_cent = base.sparkSession.sparkContext.broadcast(cn)
+    probe = min(n_probe, len(cent_pdf))
+
+    def assign(batches):
+        cn_ = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, m = _normalized_matrix(pdf)
+            qn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # rounded before ranking so the SQL oracle's independently
+            # computed cosines rank cells identically
+            cos = np.round(qn @ cn_.T, 6)  # (batch, n_cells)
+            # top-P cells, ties to the lower cell id (lexsort tiebreak)
+            cells = np.stack(
+                [np.lexsort((np.arange(cn_.shape[0]), -cos[i]))[:probe] for i in range(len(ids))]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, probe),
+                    "bucket": cells.reshape(-1).astype(np.int64),
+                    "embedding": np.repeat(pdf["embedding"].to_numpy(), probe),
+                }
+            )
+
+    assigned = base.mapInPandas(
+        assign,
+        schema=T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("bucket", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    return _bucketed_topk(assigned, k)
