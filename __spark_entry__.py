@@ -782,6 +782,43 @@ def q_pit_row_features(spark, sf_dir):
     ).withColumn("last_signup_tsec", _R6(F.col("last_signup_tsec"), "last_signup_tsec"))
 
 
+def q_pit_blocked(spark, sf_dir):
+    """The SKEW-SPLIT (blocked) PIT surface on events — block_rows=64
+    forces ~30 block boundaries per user at this scale, so every carry
+    (close ts, prefix totals, last-tool, rolling lookback) is exercised
+    against a plain-window SQL oracle. Blocked == windowed is also
+    pinned bit-equal by tests/test_pit_blocked.py; this gate proves it
+    cross-engine."""
+    from proxyfeatureextraction_spark.plans.pit import pit_features_blocked
+
+    e = _events(spark, sf_dir)
+    w = _w()
+    m = e.select(
+        F.col("user_id").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("tsec").alias("ts_sec"),
+        F.when(F.col("dir") == 1, "user").otherwise("assistant").alias("role"),
+        F.when(F.col("event_type") == "signup", "signup").alias("tool"),
+        F.col("dir"),
+        F.floor("value").cast("int").alias("n_chars"),
+    )
+    p = pit_features_blocked(m, session_gap_s=3600.0, roll_rows=10, block_rows=64)
+    return p.select(
+        "conv_id",
+        "turn_idx",
+        _R6(F.col("delta_prev"), "delta_prev"),
+        _R6(F.col("delta_prev_same_role"), "delta_prev_same_role"),
+        "session_id",
+        "cum_n_chars",
+        "turn_rank",
+        _R6(F.col("roll_avg_chars_10"), "roll_avg_10"),
+        "cum_user_turns",
+        "last_tool",
+        _R6(F.col("last_tool_ts"), "last_tool_ts"),
+    )
+
+
 def q_asof_global(spark, sf_dir):
     """Global-stream backward as-of (un-keyed): each event ← value of
     the latest signup across ALL users (scalable bucketed pattern)."""
@@ -921,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_bytes": q_multimodal_bytes,
         "pit_row_features": q_pit_row_features,
+        "pit_blocked": q_pit_blocked,
         "asof_global": q_asof_global,
         "salted_stats": q_salted_stats,
         "dedup_survivors": q_dedup_survivors,
@@ -1407,6 +1445,43 @@ def oracle_sql() -> dict[str, str]:
         FROM d WINDOW
           w AS (PARTITION BY user_id ORDER BY tsec, event_id),
           wc AS (PARTITION BY user_id ORDER BY tsec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # Oracle is the PLAIN-WINDOW formulation: the engine's blocked
+        # split-and-remerge must be value-invisible (north rule).
+        "pit_blocked": _EVENTS_CTE
+        + """
+        , m AS (
+          SELECT user_id AS conv_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) - 1 AS turn_idx,
+                 tsec AS ts_sec,
+                 CASE WHEN dir = 1 THEN 'user' ELSE 'assistant' END AS role,
+                 CASE WHEN event_type = 'signup' THEN 'signup' END AS tool,
+                 dir,
+                 CAST(floor(value) AS INTEGER) AS n_chars
+          FROM ev
+        ),
+        d AS (
+          SELECT *,
+                 ts_sec - lag(ts_sec, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap,
+                 ts_sec - lag(ts_sec, 1) OVER (PARTITION BY conv_id, role ORDER BY turn_idx) AS gap_role
+          FROM m
+        )
+        SELECT conv_id, turn_idx,
+               round(gap, 6) AS delta_prev,
+               round(gap_role, 6) AS delta_prev_same_role,
+               CAST(sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS session_id,
+               CAST(sum(n_chars) OVER wc AS BIGINT) AS cum_n_chars,
+               row_number() OVER w AS turn_rank,
+               round(avg(n_chars) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS roll_avg_10,
+               CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum_user_turns,
+               last_value(tool IGNORE NULLS) OVER wc AS last_tool,
+               round(last_value(CASE WHEN tool IS NOT NULL THEN ts_sec END IGNORE NULLS)
+                     OVER wc, 6) AS last_tool_ts
+        FROM d WINDOW
+          w AS (PARTITION BY conv_id ORDER BY turn_idx),
+          wc AS (PARTITION BY conv_id ORDER BY turn_idx
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "asof_global": _EVENTS_CTE

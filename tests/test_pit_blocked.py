@@ -1,0 +1,91 @@
+"""Skew-split PIT surface: pit_features_blocked must be BIT-EQUAL to
+the plain window pit_features (north rule: heavy-hitter conversations
+are split into bounded blocks and re-merged with no value drift)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from proxyfeatureextraction_spark.plans.pit import (
+    pit_features,
+    pit_features_auto,
+    pit_features_blocked,
+)
+from proxyfeatureextraction_spark.schema import with_derived
+
+
+@pytest.fixture(scope="module")
+def derived(spark):
+    from proxyfeatureextraction_spark.synth import synth_transcripts
+
+    return with_derived(synth_transcripts(spark, n_convs=40, seed=7)).cache()
+
+
+def _collect(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+
+def _assert_bit_equal(a: pd.DataFrame, b: pd.DataFrame) -> None:
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_blocked_equals_windowed(spark, derived):
+    # block_rows=7 forces many blocks per conversation — every carry
+    # (close ts, prefix totals, last-tool, rolling lookback) crosses
+    # boundaries repeatedly
+    plain = _collect(pit_features(derived))
+    blocked = _collect(pit_features_blocked(derived, block_rows=7))
+    _assert_bit_equal(plain, blocked)
+
+
+def test_blocked_handles_sparse_turn_idx(spark):
+    """Ragged/EMPTY blocks: turn_idx with large gaps makes floor-based
+    blocks skip indices entirely; carries must use the previous PRESENT
+    block and the rolling lookback must reach across empty blocks."""
+    rows = []
+    for c in ("a", "b"):
+        for j, t in enumerate([0, 1, 2, 40, 41, 95, 200, 201, 202, 450]):
+            rows.append((c, t, "user" if j % 2 else "assistant",
+                         "x" * (j + 1), "search" if j % 4 == 0 else None,
+                         float(j) * 120.0))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_sec double"
+    )
+    d = df.selectExpr(
+        "conv_id", "turn_idx", "timestamp(ts_sec) AS ts", "ts_sec", "role", "tool",
+        "CASE WHEN role = 'user' THEN 1 ELSE -1 END AS dir",
+        "length(text) AS n_chars",
+    )
+    plain = _collect(pit_features(d, session_gap_s=150.0, roll_rows=3))
+    blocked = _collect(pit_features_blocked(d, session_gap_s=150.0, roll_rows=3, block_rows=10))
+    _assert_bit_equal(plain, blocked)
+
+
+def test_auto_routes_and_matches(spark, derived):
+    """With a tiny threshold some conversations go blocked, the rest
+    windowed; the union must equal the all-windowed surface."""
+    plain = _collect(pit_features(derived))
+    auto = _collect(pit_features_auto(derived, heavy_threshold=30, block_rows=11))
+    _assert_bit_equal(plain, auto)
+
+
+def test_blocked_plan_has_no_unbounded_conv_window(spark, derived):
+    """Plan audit: every row-data window partitions by (conv, block) —
+    no sorted partition spans a whole conversation. The only windows
+    partitioned by conv alone run over the per-block carry tables
+    (rows/block_rows entries), which is the point of the design."""
+    plan = (
+        pit_features_blocked(derived, block_rows=7)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    import re
+
+    for frame in re.findall(r"windowspecdefinition\(([^)]*)\)", plan.lower()):
+        if "_blk" not in frame:
+            # conv-only windows are allowed ONLY over carry aggregates
+            assert "_n" in frame or "_b" in frame or "_rclose" in frame or "_blk" in frame
