@@ -759,6 +759,19 @@ def q_multimodal_bytes(spark, sf_dir):
 
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize geometry plumbing over the synthesized media table:
+    aspect-preserving fit into 256×256, floor semantics, no upscaling —
+    pure JVM column math (the pixel resample is the stubbed codec
+    step). See functions/multimodal.py resize_plan."""
+    from proxyfeatureextraction_spark.functions.multimodal import (
+        media_from_documents,
+        resize_plan,
+    )
+
+    return resize_plan(media_from_documents(_table(spark, sf_dir, "documents")))
+
+
 def q_pit_row_features(spark, sf_dir):
     """The north-star per-(entity, ts) point-in-time surface on events:
     backfilled lag, sessionize, prefix/rolling stats — frames ≤ currentRow."""
@@ -957,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_resize": q_multimodal_resize,
         "pit_row_features": q_pit_row_features,
         "pit_blocked": q_pit_blocked,
         "asof_global": q_asof_global,
@@ -1425,6 +1439,35 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode(text)) AS payload_bytes,
                length(text) AS n_chars_q
         FROM documents
+        """,
+        # media table mapping mirrors functions/multimodal.py
+        # media_from_documents (kind by doc_id mod 3, dims by pmod)
+        "multimodal_resize": """
+        WITH media AS (
+          SELECT doc_id AS media_id,
+                 (doc_id * 7) % 1920 AS width,
+                 (doc_id * 13) % 1080 AS height
+          FROM documents
+          WHERE doc_id % 3 = 0
+        ),
+        g AS (
+          SELECT media_id, width, height,
+                 CAST(greatest(width, 1) AS DOUBLE) AS w,
+                 CAST(greatest(height, 1) AS DOUBLE) AS h
+          FROM media
+        ),
+        s AS (
+          SELECT media_id, width, height, w, h,
+                 least(256.0 / w, 256.0 / h, 1.0) AS sc
+          FROM g
+        )
+        SELECT media_id,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(greatest(floor(w * sc), 1) AS INTEGER) AS out_w,
+               CAST(greatest(floor(h * sc), 1) AS INTEGER) AS out_h,
+               round(sc, 6) AS scale
+        FROM s
         """,
         "pit_row_features": _EVENTS_CTE
         + """

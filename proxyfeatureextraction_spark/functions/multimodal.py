@@ -107,6 +107,26 @@ def decode_and_featurize(media: DataFrame, decode_mode: str = "fake") -> DataFra
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def resize_plan(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Image-resize plumbing: target geometry as pure JVM column math —
+    aspect-preserving fit into (max_w, max_h), never upscaling, floor
+    semantics, degenerate dims clamped to 1 px. The pixel resample
+    itself belongs to the stubbed codec step (decode_and_featurize);
+    at 100 TB the geometry stays columnar/codegen and only the pixel
+    kernel pays the Python/Arrow toll."""
+    w = F.greatest(F.col("width"), F.lit(1)).cast("double")
+    h = F.greatest(F.col("height"), F.lit(1)).cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("out_w"),
+        F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("out_h"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one row per planned frame via
     sequence+explode (the decode of each frame is the stub above)."""

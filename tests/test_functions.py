@@ -66,6 +66,24 @@ def test_multimodal_real_mode_stubbed(spark, docs):
         decode_and_featurize(media, decode_mode="real").collect()
 
 
+def test_resize_plan_geometry(spark, docs):
+    from proxyfeatureextraction_spark.functions.multimodal import resize_plan
+
+    media = media_from_documents(docs)
+    out = resize_plan(media, max_w=256, max_h=256).toPandas()
+    assert len(out) > 0
+    # fits the box, never upscales, never degenerates
+    assert (out["out_w"] <= 256).all() and (out["out_h"] <= 256).all()
+    assert (out["out_w"] >= 1).all() and (out["out_h"] >= 1).all()
+    assert (out["scale"] <= 1.0).all()
+    big = out[(out["width"] > 256) | (out["height"] > 256)]
+    small = out[(out["width"] <= 256) & (out["height"] <= 256) & (out["width"] >= 1)]
+    # downscaled images touch the box on their long edge (floor slack 1px)
+    assert ((big["out_w"] >= 255) | (big["out_h"] >= 255)).all()
+    # already-fitting images pass through unchanged
+    assert (small["out_w"] == small["width"].clip(lower=1)).all()
+
+
 def test_frame_sampling(spark, docs):
     media = media_from_documents(docs)
     frames = frame_sample_plan(media, every_ms=5000).toPandas()
