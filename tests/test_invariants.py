@@ -92,6 +92,32 @@ def test_extract_plan_has_no_unbounded_collect(spark, transcripts_df):
     )
 
 
+def test_scan_pushes_filters_and_prunes_columns(spark):
+    """Declarative-plan dividend: a filtered 1-column projection must
+    reach the parquet scan as PushedFilters + a 2-column ReadSchema —
+    at 100 TB this is the difference between reading two columns of a
+    row-group subset and reading everything."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("testdata absent")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    plan = (
+        df.filter(F.col("user_id") == 1)
+        .select("event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,1)]" in plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan
+
+
 def test_host_features_plan_has_no_unbounded_collect(spark, transcripts_df):
     """Same audit for the standalone host_features API (it previously
     kept its own collect_list-window Q5 variant after the fused plan

@@ -83,3 +83,53 @@ def test_stateful_profile(spark, transcripts_df, tmp_path):
     )
     assert got["n_turns"].sort_index().tolist() == exp["n_turns"].sort_index().tolist()
     assert got["sum_chars"].sort_index().tolist() == exp["sum_chars"].sort_index().tolist()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark discipline (§2.9): in update mode, state for windows
+    older than the watermark is evicted and late rows for them are
+    DROPPED — the streaming face of the zero-temporal-leakage rule."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    t = lambda s: pd.Timestamp(f"2026-01-01 {s}").to_pydatetime()  # noqa: E731
+    batch1 = spark.createDataFrame(
+        [
+            ("f1", "relayed", "a", 0, "user", "hello", None, t("10:00:10")),
+            ("f1", "relayed", "a", 1, "assistant", "hi", None, t("10:00:20")),
+            ("f1", "relayed", "a", 2, "user", "much later", None, t("11:00:00")),
+        ],
+        S.TRANSCRIPT_SCHEMA,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        tumbling_turn_stats(
+            stream_transcripts(spark, src, max_files=10),
+            window="1 minute",
+            watermark="10 minutes",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_tbl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 11:00 − 10 min = 10:50 > the 10:00 window end;
+        # this row is LATE and must be dropped, not aggregated
+        late = spark.createDataFrame(
+            [("f1", "relayed", "a", 3, "user", "too late", None, t("10:00:40"))],
+            S.TRANSCRIPT_SCHEMA,
+        )
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.table("late_tbl")
+        .select(F.col("win.start").alias("ws"), "n_turns")
+        .toPandas()
+    )
+    first_win = got[got["ws"] == pd.Timestamp("2026-01-01 10:00:00")]
+    # exactly one emission for the 10:00 window, WITHOUT the late row
+    assert len(first_win) == 1 and first_win["n_turns"].iloc[0] == 2
