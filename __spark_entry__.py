@@ -508,6 +508,18 @@ def q_dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(d, threshold=0.8)
 
 
+def q_dedup_jaccard_scalable(spark, sf_dir):
+    """Unbounded-corpus near-dup pairs: minhash-LSH candidates + EXACT
+    JVM verify (array_intersect / array_union) — the auto-route past
+    the exact baseline's driver bound. No driver collect at any corpus
+    size; precision exact, recall = LSH recall (bands=8 here)."""
+    from proxyfeatureextraction_spark.operators.dedup import jaccard_pairs_scalable
+
+    return jaccard_pairs_scalable(
+        _table(spark, sf_dir, "documents"), threshold=0.8, n_perm=16, bands=8
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (word→minhash→band→bucket join),
     exact-dup pre-collapse + hot-bucket cap. Oracle-checkable: the
@@ -959,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": q_join_revenue,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
@@ -1267,6 +1280,29 @@ def oracle_sql() -> dict[str, str]:
         WHERE ninter * 1.0 / (sa.nw + sb.nw - ninter) >= 0.8
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        # LSH candidates (bands=8) + exact list-Jaccard verify — DuckDB
+        # twin of operators.dedup.jaccard_pairs_scalable
+        "dedup_jaccard_scalable": f"""
+        WITH cand AS ({_minhash_oracle(16, 8)}),
+        sets AS (
+          SELECT doc_id,
+                 list_filter(list_distinct(string_split(text, ' ')),
+                             w -> length(w) > 0) AS ws
+          FROM documents
+        ),
+        v AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(sa.ws, sb.ws)) AS ninter,
+                 len(list_distinct(list_concat(sa.ws, sb.ws))) AS nunion
+          FROM cand c
+          JOIN sets sa ON c.doc_a = sa.doc_id
+          JOIN sets sb ON c.doc_b = sb.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END, 6) AS jaccard
+        FROM v
+        WHERE round(CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END, 6) >= 0.8
+        """,
         "dedup_simhash": _simhash_oracle(),
         "similarity_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from proxyfeatureextraction_spark.operators.dedup import (
     jaccard_pairs,
+    jaccard_pairs_scalable,
     minhash_lsh_candidates,
 )
 
@@ -84,6 +85,35 @@ def test_jaccard_guard_disabled_still_works(spark):
     )
     out = jaccard_pairs(df, max_sets=None).collect()
     assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+
+
+def test_jaccard_scalable_exact_precision(spark):
+    """The LSH+verify route must be a SUBSET of the exact baseline with
+    IDENTICAL jaccard values (exact precision; recall is the LSH knob),
+    modulo exact-duplicate pairs, which the route intentionally leaves
+    to exact_dedup (pre-collapse)."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata absent")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(d, threshold=0.8).collect()
+    }
+    scal = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_scalable(d, threshold=0.8, n_perm=16, bands=16).collect()
+    }
+    assert scal, "LSH+verify found nothing — broken routing"
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    for pair, j in scal.items():
+        assert pair in exact and exact[pair] == j, pair
+    # recall floor over non-identical-text pairs at bands == n_perm
+    non_dup = {p for p in exact if texts[p[0]] != texts[p[1]]}
+    recall = len(set(scal) & non_dup) / max(len(non_dup), 1)
+    assert recall > 0.9, recall
 
 
 def test_jaccard_expansion_plan_is_equi_join(spark):
