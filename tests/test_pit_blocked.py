@@ -64,6 +64,35 @@ def test_blocked_handles_sparse_turn_idx(spark):
     _assert_bit_equal(plain, blocked)
 
 
+def test_blocked_extreme_edges(spark):
+    """block_rows=1 (every row its own block: ALL state crosses a
+    boundary at EVERY row) over pathological conversations: single-row,
+    tied timestamps (turn_idx breaks the ORDER_COLS tie), no tool ever,
+    roll window longer than the conversation."""
+    rows = [
+        # single-row conversation
+        ("s", 0, "user", "only", None, 0.0),
+        # tied timestamps, tool never set
+        ("t", 0, "user", "a", None, 5.0),
+        ("t", 1, "assistant", "bb", None, 5.0),
+        ("t", 2, "user", "ccc", None, 5.0),
+        # short conversation vs roll_rows=10
+        ("u", 0, "assistant", "x", "calc", 1.0),
+        ("u", 1, "assistant", "yy", None, 900.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_sec double"
+    )
+    d = df.selectExpr(
+        "conv_id", "turn_idx", "timestamp(ts_sec) AS ts", "ts_sec", "role", "tool",
+        "CASE WHEN role = 'user' THEN 1 ELSE -1 END AS dir",
+        "length(text) AS n_chars",
+    )
+    plain = _collect(pit_features(d, session_gap_s=300.0, roll_rows=10))
+    blocked = _collect(pit_features_blocked(d, session_gap_s=300.0, roll_rows=10, block_rows=1))
+    _assert_bit_equal(plain, blocked)
+
+
 def test_auto_routes_and_matches(spark, derived):
     """With a tiny threshold some conversations go blocked, the rest
     windowed; the union must equal the all-windowed surface."""
