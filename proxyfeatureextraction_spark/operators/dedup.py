@@ -91,7 +91,7 @@ def jaccard_pairs(
     round_digits: int = 6,
     max_sets: int = 200_000,
     max_vocab: int = 500_000,
-    max_cells: int = 2_000_000_000,
+    max_cells: int = 200_000_000,
 ) -> DataFrame:
     """Exact word-set Jaccard ≥ threshold pairs (doc_a < doc_b).
 
@@ -117,11 +117,24 @@ def jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.sort_array(
             F.filter(
-                F.array_distinct(F.split(F.col(text_col), " ")),
+                # coalesce: split(NULL) would propagate ws=NULL into the
+                # driver kernel (null text must behave like empty text)
+                F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
                 lambda w: F.length(w) > 0,
             )
         ).alias("ws"),
-    ).withColumn("sig", F.concat_ws("\x1f", "ws"))
+    ).withColumn(
+        # injective set signature: length-prefix every token (a prefix
+        # code), so a token CONTAINING the separator can't collide with
+        # a token split ('a\x1fb' vs ['a','b'] encode differently)
+        "sig",
+        F.concat_ws(
+            "\x1f",
+            F.transform(
+                "ws", lambda w: F.concat(F.length(w).cast("string"), F.lit(":"), w)
+            ),
+        ),
+    )
     dsets = docs.select("sig", "ws").dropDuplicates(["sig"]).persist()
     try:
         n_sets, n_vocab = dsets.select(
@@ -167,13 +180,15 @@ def jaccard_pairs(
 
     def run(batches):
         inc_, sizes_ = b_inc.value, b_sizes.value
-        inc_t = inc_.T.astype(np.int32)
         for pdf in batches:
             if pdf.empty:
                 continue
             qid = pdf["set_id"].to_numpy()
+            # int32 @ int8: numpy's integer matmul buffers the cast, so
+            # the broadcast incidence is never materialized at 4× (the
+            # transpose is a view; only the batch rows are upcast)
             q = inc_[qid].astype(np.int32)
-            inter = q @ inc_t
+            inter = q @ inc_.T
             union = sizes_[qid][:, None] + sizes_[None, :] - inter
             with np.errstate(all="ignore"):
                 jac = np.where(union > 0, inter / union, 0.0)
@@ -250,7 +265,7 @@ def jaccard_pairs_scalable(
     sets = df.select(
         F.col(id_col).alias("_sid"),
         F.filter(
-            F.array_distinct(F.split(F.col(text_col), " ")),
+            F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
             lambda w: F.length(w) > 0,
         ).alias("_ws"),
     )
@@ -258,17 +273,16 @@ def jaccard_pairs_scalable(
     b = sets.select(F.col("_sid").alias("doc_b"), F.col("_ws").alias("_wb"))
     inter = F.size(F.array_intersect("_wa", "_wb"))
     union = F.size(F.array_union("_wa", "_wb"))
+    jac_raw = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
         cands.join(a, "doc_a").join(b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
-                round_digits,
-            ),
+        .withColumn("_jraw", jac_raw)
+        # threshold the UNROUNDED ratio (same contract as jaccard_pairs);
+        # rounding is presentation-only on the output column
+        .filter(F.col("_jraw") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round("_jraw", round_digits).alias("jaccard")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -373,4 +387,105 @@ def simhash_buckets(
     )
     return sim.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: (doc_id, cluster_rep).
+
+    The missing last mile after any pair producer (``jaccard_pairs``,
+    ``jaccard_pairs_scalable``, ``minhash_lsh_candidates``): transitive
+    chains A~B, B~C must dedup to ONE representative, so pairs are
+    treated as edges and each connected component is labeled with its
+    minimum doc id.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is one groupBy + one equi-join over the edge list, fully
+    distributed, and the edge set converges to per-component stars in
+    O(log n) rounds regardless of chain length (plain min-label
+    propagation needs O(diameter) rounds — pathological on long
+    chains). ``localCheckpoint`` truncates the loop's lineage each
+    round so the plan stays flat; on a real cluster point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and
+    swap in ``checkpoint`` if executor loss matters mid-job.
+
+    ``nodes`` (any DataFrame with ``id_col``) adds singleton rows
+    (cluster_rep = self) for docs that never paired, so the output is a
+    total assignment over the corpus. Survivors are then
+    ``cluster_rep == doc_id`` rows; everything else drops.
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+            F.col("u") != F.col("v")
+        ).distinct()
+
+    def _checksum(df: DataFrame) -> tuple:
+        # mod keeps each term < 1e9+7 so the sum can't overflow long
+        # (ANSI mode would throw) before ~9e9 edges
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v") % F.lit(HASH_MOD)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _checksum(edges)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u re-links to min(N(u) ∪ {u})
+        lmin = edges.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            edges.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = _sym(large).localCheckpoint()
+        # small-star: per node, the smaller neighbors + self re-link to
+        # the minimum of that set (directed large→small view)
+        down = edges.filter(F.col("v") < F.col("u"))
+        smin = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            down.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select(F.col("u"), F.col("m").alias("v")))
+        )
+        edges = _sym(small).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} star rounds "
+            f"(expected O(log n)); the edge list is likely still mutating — "
+            f"raise max_iter or inspect the pair producer for nondeterminism."
+        )
+    reps = edges.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("cluster_rep"))
+    reps = reps.select(F.col("u").alias(id_col), "cluster_rep")
+    if nodes is None:
+        return reps
+    return (
+        nodes.select(F.col(id_col)).distinct()
+        .join(reps, id_col, "left")
+        .select(
+            id_col, F.coalesce("cluster_rep", F.col(id_col)).alias("cluster_rep")
+        )
     )

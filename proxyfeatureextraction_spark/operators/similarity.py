@@ -73,14 +73,38 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    max_rows: int | None = 200_000,
+    max_cells: int | None = 50_000_000,
 ) -> DataFrame:
     """Exact cosine top-k of every vector vs the whole table.
 
     Ties broken on (rounded cosine desc, neighbor id asc) so results are
     deterministic and oracle-comparable.
+
+    BOUNDED BY DESIGN: the candidate matrix is collected to the driver
+    and broadcast, so this is the exact baseline, not a scale path.
+    Fail-fast guards (``max_rows`` / ``max_cells`` = rows × dim) fire
+    BEFORE anything is collected — same pattern as
+    ``dedup.jaccard_pairs`` — and route oversized corpora to the
+    distributed ANN paths. Pass ``max_rows=None`` to disable (trusted
+    inputs).
     """
     spark = embeddings.sparkSession
     base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if max_rows is not None:
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
+        ).first()
+        n, d = stats["n"] or 0, stats["d"] or 0
+        if n > max_rows or n * d > (max_cells or n * d):
+            raise ValueError(
+                f"cosine_topk_bruteforce corpus exceeds the exact-baseline "
+                f"bound ({n} rows × {d} dim vs max {max_rows} rows / "
+                f"{max_cells} cells): the candidate matrix no longer fits a "
+                f"driver/executor broadcast. Use cosine_topk_lsh() or "
+                f"cosine_topk_ivf() — distributed ANN with exact per-bucket "
+                f"re-rank — instead."
+            )
     cand_pdf = base.toPandas()
     cand_ids, cand = _normalized_matrix(cand_pdf)
     cand_norm = cand / np.linalg.norm(cand, axis=1, keepdims=True)
@@ -175,12 +199,30 @@ def cosine_topk_lsh(
     return _bucketed_topk(bucketed, k)
 
 
-def _bucketed_topk(bucketed: DataFrame, k: int) -> DataFrame:
+def _bucketed_topk(
+    bucketed: DataFrame,
+    k: int,
+    max_bucket: int | None = 50_000,
+    chunk_rows: int = 1_024,
+) -> DataFrame:
     """Shared ANN tail: exact-cosine re-rank inside each bucket/cell
     (Arrow grouped-map), then a global per-vector merge of the best k
     across buckets. Per-bucket truncation at k is lossless for the
     final top-k: a neighbor's rank within any bucket is ≤ its rank over
-    the union of that vector's candidates (same total order)."""
+    the union of that vector's candidates (same total order).
+
+    Two scale guards (mirrors dedup's hot-bucket treatment):
+
+    - ``max_bucket``: buckets above this size are DROPPED before the
+      grouped-map (counted with one window pass). A bucket holding a
+      large fraction of the corpus carries near-zero locality
+      information — re-ranking it is O(bucket²) work for candidates
+      brute force would find anyway. ``None`` disables.
+    - ``chunk_rows``: the per-bucket similarity matrix is computed in
+      query-row blocks, so kernel memory is O(chunk_rows × bucket)
+      (~0.4 GB at the 50k cap with 1k chunks), never O(bucket²). Same
+      outputs — chunking only splits the matmul.
+    """
 
     def rerank(key, pdf: pd.DataFrame) -> pd.DataFrame:
         del key
@@ -190,24 +232,37 @@ def _bucketed_topk(bucketed: DataFrame, k: int) -> DataFrame:
             ).astype({"vec_id": "int64", "neighbor": "int64", "cosine": "float64", "rk": "int32"})
         ids, m = _normalized_matrix(pdf)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = np.round(mn @ mn.T, 6)
-        np.fill_diagonal(sims, -np.inf)
-        rows = []
-        kk = min(k, len(ids) - 1)
-        for i in range(len(ids)):
-            order = np.lexsort((ids, -sims[i]))[:kk]
-            rows.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": ids[i],
-                        "neighbor": ids[order],
-                        "cosine": sims[i][order],
-                        "rk": np.arange(1, kk + 1, dtype=np.int32),
-                    }
-                )
-            )
-        return pd.concat(rows, ignore_index=True)
+        n = len(ids)
+        kk = min(k, n - 1)
+        out_vec, out_nbr, out_cos = [], [], []
+        for i0 in range(0, n, chunk_rows):
+            i1 = min(i0 + chunk_rows, n)
+            sims = np.round(mn[i0:i1] @ mn.T, 6)  # (chunk, n) — bounded
+            sims[np.arange(i1 - i0), np.arange(i0, i1)] = -np.inf  # self
+            for j in range(i1 - i0):
+                order = np.lexsort((ids, -sims[j]))[:kk]
+                out_vec.append(np.full(kk, ids[i0 + j]))
+                out_nbr.append(ids[order])
+                out_cos.append(sims[j][order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_vec),
+                "neighbor": np.concatenate(out_nbr),
+                "cosine": np.concatenate(out_cos),
+                "rk": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+            }
+        )
 
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        bucketed = (
+            bucketed.withColumn(
+                "_bn", F.count(F.lit(1)).over(W.partitionBy("bucket"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     per_bucket = bucketed.groupBy("bucket").applyInPandas(rerank, schema=TOPK_SCHEMA)
     # best k per vector across buckets (dedupe identical pairs first)
     from pyspark.sql import Window

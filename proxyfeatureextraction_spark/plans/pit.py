@@ -79,7 +79,11 @@ def pit_features_blocked(
     Exactness: prefix quantities are int64 sums (exact) and every ratio
     divides the same operands the window path divides, so outputs are
     bit-equal to ``pit_features`` (tested at block_rows=7 vs the plain
-    windows). Handles ragged/empty blocks from sparse turn_idx: carries
+    windows). Null ``n_chars`` keeps avg/sum semantics: a non-null
+    prefix count rides alongside the value prefix, the rolling divisor
+    is the frame's NON-NULL count (not its row count), and both
+    ``roll_avg`` and ``cum_n_chars`` go NULL exactly when their frame /
+    prefix holds no non-null value. Handles ragged/empty blocks from sparse turn_idx: carries
     use the previous PRESENT block, and the rolling lookback joins by
     global row position (the target row is always within the trailing
     ``roll_rows`` rows of its own block — see test)."""
@@ -96,19 +100,32 @@ def pit_features_blocked(
         F.count(F.lit(1)).over(wall_in).alias("_bn"),
         F.lag(S.TS_SEC, 1).over(w_in).alias("_lag_ts_in"),
         F.lag(S.TS_SEC, 1).over(w_role_in).alias("_lag_role_in"),
-        F.sum(F.col(S.N_CHARS).cast("long")).over(wcum_in).alias("_cumc_in"),
+        # coalesce: a block whose prefix is all-null would otherwise
+        # carry a NULL partial sum into _C / _bc; sum-is-null-iff-no-
+        # non-null is re-derived at the output from the non-null count
+        F.coalesce(
+            F.sum(F.col(S.N_CHARS).cast("long")).over(wcum_in), zero
+        ).alias("_cumc_in"),
+        # non-null prefix count: avg's denominator is the NON-NULL count
+        # in the frame, so the blocked division must carry it alongside
+        # the value prefix or null n_chars breaks bit-equality
+        F.sum(F.when(F.col(S.N_CHARS).isNotNull(), one).otherwise(zero))
+        .over(wcum_in).alias("_cumn_in"),
         F.sum(F.when(F.col(S.DIR) == 1, one).otherwise(zero)).over(wcum_in).alias("_cumu_in"),
         F.last(F.when(F.col(S.TOOL).isNotNull(), F.col(S.TOOL)), ignorenulls=True)
         .over(wcum_in).alias("_lt_in"),
         F.last(F.when(F.col(S.TOOL).isNotNull(), F.col(S.TS_SEC)), ignorenulls=True)
         .over(wcum_in).alias("_ltts_in"),
     )
-    d = d.withColumn("_lagC_in", F.lag("_cumc_in", roll_rows).over(w_in))
+    d = d.withColumn("_lagC_in", F.lag("_cumc_in", roll_rows).over(w_in)).withColumn(
+        "_lagN_in", F.lag("_cumn_in", roll_rows).over(w_in)
+    )
 
     blocks = d.groupBy(S.CONV, "_blk").agg(
         F.count(F.lit(1)).alias("_n"),
         F.max_by(S.TS_SEC, "_p").alias("_close_ts"),
         F.max("_cumc_in").alias("_bc"),
+        F.max("_cumn_in").alias("_bnn"),
         F.max("_cumu_in").alias("_bu"),
         F.max_by("_lt_in", "_p").alias("_blt"),
         F.max_by("_ltts_in", "_p").alias("_bltts"),
@@ -119,6 +136,7 @@ def pit_features_blocked(
         S.CONV, "_blk",
         F.coalesce(F.sum("_n").over(wbprev), zero).alias("_boff"),
         F.coalesce(F.sum("_bc").over(wbprev), zero).alias("_coffc"),
+        F.coalesce(F.sum("_bnn").over(wbprev), zero).alias("_coffn"),
         F.coalesce(F.sum("_bu").over(wbprev), zero).alias("_coffu"),
         F.lag("_close_ts", 1).over(wb).alias("_prev_close"),
         F.last("_blt", ignorenulls=True).over(wbprev).alias("_carry_lt"),
@@ -148,12 +166,13 @@ def pit_features_blocked(
     d = d.join(soff, [S.CONV, "_blk"])
     d = d.withColumn("_pos", F.col("_boff") + F.col("_p")).withColumn(
         "_C", F.col("_coffc") + F.col("_cumc_in")
-    )
+    ).withColumn("_N", F.col("_coffn") + F.col("_cumn_in"))
     # rolling sum of the last roll_rows chars = C(i) − C(i−roll_rows);
     # the lookback row for a block's first roll_rows rows lives in the
     # trailing roll_rows rows of an EARLIER block — joined by position
     tail = d.filter(F.col("_bn") - F.col("_p") < roll_rows).select(
-        F.col(S.CONV).alias("_tk"), F.col("_pos").alias("_tpos"), F.col("_C").alias("_tC")
+        F.col(S.CONV).alias("_tk"), F.col("_pos").alias("_tpos"),
+        F.col("_C").alias("_tC"), F.col("_N").alias("_tN"),
     )
     d = d.withColumn("_tgt", F.col("_pos") - roll_rows).join(
         tail,
@@ -163,9 +182,12 @@ def pit_features_blocked(
     c_back = F.when(
         F.col("_p") > roll_rows, F.col("_coffc") + F.col("_lagC_in")
     ).otherwise(F.col("_tC"))
-    roll_avg = (F.col("_C") - F.coalesce(c_back, zero)) / F.least(
-        F.lit(roll_rows).cast("long"), F.col("_pos")
-    )
+    n_back = F.when(
+        F.col("_p") > roll_rows, F.col("_coffn") + F.col("_lagN_in")
+    ).otherwise(F.col("_tN"))
+    nn = F.col("_N") - F.coalesce(n_back, zero)
+    # avg semantics: NULL when the frame holds no non-null n_chars
+    roll_avg = F.when(nn > 0, (F.col("_C") - F.coalesce(c_back, zero)) / nn)
     return d.select(
         S.CONV, S.TURN, S.TS, S.TS_SEC, S.ROLE, S.TOOL, S.DIR, S.N_CHARS,
         F.col("_gap").alias("delta_prev"),
@@ -173,7 +195,7 @@ def pit_features_blocked(
             "delta_prev_same_role"
         ),
         (F.col("_soff") + F.col("_sf_in")).alias("session_id"),
-        F.col("_C").alias("cum_n_chars"),
+        F.when(F.col("_N") > 0, F.col("_C")).alias("cum_n_chars"),
         (F.col("_boff") + F.col("_p")).cast("int").alias("turn_rank"),
         roll_avg.alias(f"roll_avg_chars_{roll_rows}"),
         (F.col("_coffu") + F.col("_cumu_in")).alias("cum_user_turns"),

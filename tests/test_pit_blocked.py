@@ -93,6 +93,54 @@ def test_blocked_extreme_edges(spark):
     _assert_bit_equal(plain, blocked)
 
 
+def test_blocked_null_n_chars_matches_avg_semantics(spark):
+    """Null n_chars must keep avg/sum window semantics: roll_avg divides
+    by the frame's NON-NULL count (F.avg), cum_n_chars is NULL exactly
+    while the prefix holds no non-null value. Topologies: leading nulls,
+    an entire all-null block mid-conversation, an all-null conversation,
+    and nulls straddling block boundaries."""
+    rows = [
+        # leading nulls then values
+        ("a", 0, "user", None, None, 0.0),
+        ("a", 1, "assistant", None, None, 10.0),
+        ("a", 2, "user", "xxx", None, 20.0),
+        ("a", 3, "assistant", "yy", "calc", 30.0),
+        # all-null middle block (block_rows=2 → turns 2,3 form a block)
+        ("b", 0, "user", "aaaa", None, 0.0),
+        ("b", 1, "assistant", "bb", None, 10.0),
+        ("b", 2, "user", None, None, 20.0),
+        ("b", 3, "assistant", None, None, 30.0),
+        ("b", 4, "user", "cccccc", None, 40.0),
+        # entirely null conversation
+        ("c", 0, "user", None, None, 0.0),
+        ("c", 1, "assistant", None, None, 500.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_sec double"
+    )
+    d = df.selectExpr(
+        "conv_id", "turn_idx", "timestamp(ts_sec) AS ts", "ts_sec", "role", "tool",
+        "CASE WHEN role = 'user' THEN 1 ELSE -1 END AS dir",
+        "length(text) AS n_chars",
+    )
+    plain = _collect(pit_features(d, session_gap_s=300.0, roll_rows=3))
+    for br in (1, 2, 100):
+        blocked = _collect(
+            pit_features_blocked(d, session_gap_s=300.0, roll_rows=3, block_rows=br)
+        )
+        _assert_bit_equal(plain, blocked)
+    # pin the semantics themselves, not just path parity
+    c_rows = plain[plain["conv_id"] == "c"]
+    assert c_rows["roll_avg_chars_3"].isna().all()
+    assert c_rows["cum_n_chars"].isna().all()
+    a_rows = plain[plain["conv_id"] == "a"].reset_index(drop=True)
+    assert a_rows.loc[0, "cum_n_chars"] != a_rows.loc[0, "cum_n_chars"] or pd.isna(
+        a_rows.loc[0, "cum_n_chars"]
+    )
+    # row 3 of 'a': frame = rows 1..3 → non-null values {3, 2} → avg 2.5
+    assert a_rows.loc[3, "roll_avg_chars_3"] == 2.5
+
+
 def test_auto_routes_and_matches(spark, derived):
     """With a tiny threshold some conversations go blocked, the rest
     windowed; the union must equal the all-windowed surface."""
