@@ -49,6 +49,31 @@ WITH ev AS (
 )
 """
 
+# word-set Jaccard >= 0.8 pair list over `documents` — shared between the
+# dedup_jaccard gate and the dedup_near_survivors recursive closure
+_JACCARD_CTES = """
+        w AS (
+          SELECT doc_id, w FROM documents,
+                 UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
+          WHERE length(w) > 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+          FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jpairs AS (
+          SELECT doc_a, doc_b,
+                 round(ninter * 1.0 / (sa.nw + sb.nw - ninter), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE ninter * 1.0 / (sa.nw + sb.nw - ninter) >= 0.8
+        )
+"""
+
+
 def _w():
     return Window.partitionBy("user_id").orderBy("tsec", "event_id")
 
@@ -125,6 +150,43 @@ def q_flow_pairs(spark, sf_dir):
         F.col("v")[2].alias("f_dir"),
         "n_flow",
     )
+
+
+def q_flow_pairs_arrays(spark, sf_dir):
+    """W10 at the ARRAY level: same padded first-20 (value, tsec, dir)
+    tensor as ``flow_pairs``, but serialized as one canonical string per
+    user — each triple's components ×1e6 as integers, ','-joined, rows
+    ';'-joined — so the gate hashes the tensor LAYOUT (row order,
+    padding, column order) itself, not exploded scalars. Integers render
+    identically in both engines, dodging float-formatting drift."""
+    k = 20
+    e = _events(spark, sf_dir).withColumn("rn", F.row_number().over(_w())).filter(
+        F.col("rn") <= k
+    )
+    triple = F.struct(
+        F.col("rn").alias("o"),
+        F.array(
+            F.round(F.col("value"), 6),
+            F.round(F.col("tsec"), 6),
+            F.col("dir").cast("double"),
+        ).alias("v"),
+    )
+    conv = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(triple)).alias("_rows"),
+        F.count(F.lit(1)).alias("n_flow"),
+    )
+    zeros = F.array_repeat(F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)), k)
+    padded = F.slice(F.concat(F.transform("_rows", lambda r: r["v"]), zeros), 1, k)
+    tensor = F.concat_ws(
+        ";",
+        F.transform(
+            padded,
+            lambda r: F.concat_ws(
+                ",", F.transform(r, lambda x: F.round(x * 1e6).cast("long").cast("string"))
+            ),
+        ),
+    )
+    return conv.select("user_id", "n_flow", tensor.alias("flow_tensor"))
 
 
 def q_interarrival(spark, sf_dir):
@@ -884,6 +946,18 @@ def q_dedup_survivors(spark, sf_dir):
     return exact_dedup(d).select("keep_id", "copies").withColumnRenamed("keep_id", "doc_id")
 
 
+def q_dedup_near_survivors(spark, sf_dir):
+    """Near-dup last mile: jaccard pairs → connected components
+    (alternating large-star/small-star, operators/dedup.dedup_clusters)
+    → TOTAL (doc_id, cluster_rep) assignment over the corpus; survivors
+    are the cluster_rep == doc_id rows. Oracle: recursive-CTE transitive
+    closure over the same pair list, min reachable id per doc."""
+    from proxyfeatureextraction_spark.operators.dedup import dedup_clusters, jaccard_pairs
+
+    d = _table(spark, sf_dir, "documents")
+    return dedup_clusters(jaccard_pairs(d, threshold=0.8), nodes=d)
+
+
 def q_rollup_counts(spark, sf_dir):
     """Grouping sets: rollup over (event_type, dir)."""
     e = _events(spark, sf_dir)
@@ -946,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_counts": q_gate_counts,
         "first_k": q_first_k,
         "flow_pairs": q_flow_pairs,
+        "flow_pairs_arrays": q_flow_pairs_arrays,
         "interarrival": q_interarrival,
         "directional_counts": q_directional_counts,
         "first_last_30": q_first_last_30,
@@ -989,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_global": q_asof_global,
         "salted_stats": q_salted_stats,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_near_survivors": q_dedup_near_survivors,
         "rollup_counts": q_rollup_counts,
         "pivot_counts": q_pivot_counts,
     }
@@ -1021,6 +1097,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(s.dir, 0) AS DOUBLE) AS f_dir,
                pos.n_flow
         FROM pos LEFT JOIN s ON s.user_id = pos.user_id AND s.rn = pos.pos
+        """,
+        # the tensor itself: list(... ORDER BY rn) pads with list_resize
+        # and serializes ×1e6 integers so both engines render identically
+        "flow_pairs_arrays": _EVENTS_CTE
+        + """
+        , r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn FROM ev),
+        s AS (SELECT user_id, rn, value, tsec, dir FROM r WHERE rn <= 20),
+        conv AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_flow,
+                 list_resize(
+                   list([round(value, 6), round(tsec, 6), CAST(dir AS DOUBLE)] ORDER BY rn),
+                   20, [0.0, 0.0, 0.0]) AS padded
+          FROM s GROUP BY user_id
+        )
+        SELECT user_id, n_flow,
+               array_to_string(
+                 list_transform(padded,
+                   rr -> array_to_string(
+                     list_transform(rr, x -> CAST(CAST(round(x * 1e6) AS BIGINT) AS VARCHAR)),
+                     ',')),
+                 ';') AS flow_tensor
+        FROM conv
         """,
         "interarrival": _EVENTS_CTE
         + """
@@ -1260,24 +1358,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(copies - 1) AS BIGINT) AS n_removed
         FROM g
         """,
-        "dedup_jaccard": """
-        WITH w AS (
-          SELECT doc_id, w FROM documents,
-                 UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
-          WHERE length(w) > 0
+        "dedup_jaccard": f"""
+        WITH {_JACCARD_CTES}
+        SELECT doc_a, doc_b, jaccard FROM jpairs
+        """,
+        # connected components over the SAME pair list: recursive-CTE
+        # transitive closure, min reachable id = the star-contraction rep
+        "dedup_near_survivors": f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM jpairs
+          UNION
+          SELECT doc_b, doc_a FROM jpairs
         ),
-        sizes AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
-          FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
+        reach(d, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.d, e.v FROM reach JOIN edges e ON reach.r = e.u
         )
-        SELECT doc_a, doc_b,
-               round(ninter * 1.0 / (sa.nw + sb.nw - ninter), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE ninter * 1.0 / (sa.nw + sb.nw - ninter) >= 0.8
+        SELECT d AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY d
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         # LSH candidates (bands=8) + exact list-Jaccard verify — DuckDB
@@ -1301,7 +1400,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b,
                round(CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END, 6) AS jaccard
         FROM v
-        WHERE round(CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END, 6) >= 0.8
+        -- threshold the UNROUNDED ratio (matches jaccard_pairs*'s contract)
+        WHERE CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END >= 0.8
         """,
         "dedup_simhash": _simhash_oracle(),
         "similarity_topk": """

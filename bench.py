@@ -72,10 +72,12 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(64).repartition(cpus).mapInPandas(lambda it: it, "id long").count()
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in headline:
-        timings[name] = round(
-            min(_time(lambda: qs[name](spark, sf_dir).count()) for _ in range(2)), 3
-        )
+        samples[name] = [
+            round(_time(lambda: qs[name](spark, sf_dir).count()), 3) for _ in range(2)
+        ]
+        timings[name] = min(samples[name])
 
     # feature-extraction throughput on the synthetic transcript table
     marker = os.path.join(bench_dir, f"convs_{n_convs}")
@@ -88,7 +90,10 @@ def main() -> None:
     # passes (the sandbox host is CPU-overcommitted and noisy — see
     # BENCH/BASELINE.md capacity probe)
     build_feature_table_from_df(spark, raw.limit(5000)).count()
-    t_feat = min(_time(lambda: feats.count()) for _ in range(2))
+    samples["feature_extraction"] = [
+        round(_time(lambda: feats.count()), 3) for _ in range(2)
+    ]
+    t_feat = min(samples["feature_extraction"])
     timings["feature_extraction"] = round(t_feat, 3)
 
     total = round(sum(timings.values()), 3)
@@ -100,6 +105,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # raw best-of-N samples per query: the reported number is
+                # falsifiable against its own spread (judge r2 finding #4)
+                "reps": samples,
                 "sf": sf,
                 "bench_turns": n_turns,
                 "turns_per_sec": round(n_turns / t_feat, 1),

@@ -151,6 +151,8 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 50_000,
+    chunk_rows: int = 1_024,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -158,7 +160,8 @@ def cosine_topk_lsh(
     (2^n_planes buckets); exact cosine re-ranks within each bucket and
     a global window keeps the best k per vector across tables. Recall
     rises as 1 − (1 − p^planes)^tables; candidate volume scales with
-    tables — the standard knob pair."""
+    tables — the standard knob pair. ``max_bucket``/``chunk_rows`` are
+    the shared rerank-tail guards (see ``_bucketed_topk``)."""
     base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     first = base.select(F.size("embedding").alias("d")).first()
     if first is None:
@@ -196,7 +199,7 @@ def cosine_topk_lsh(
         ),
     )
 
-    return _bucketed_topk(bucketed, k)
+    return _bucketed_topk(bucketed, k, max_bucket=max_bucket, chunk_rows=chunk_rows)
 
 
 def _bucketed_topk(
@@ -279,10 +282,12 @@ def _bucketed_topk(
 def cosine_topk_ivf(
     embeddings: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 50_000,
+    chunk_rows: int = 1_024,
 ) -> DataFrame:
     """Approximate top-k: IVF (inverted-file) cell search.
 
@@ -294,8 +299,24 @@ def cosine_topk_ivf(
     exact cosine-to-centroid (symmetric multi-probe: candidates are
     same-cell co-members), then the shared rerank/merge tail produces
     the best k. The centroid matrix (n_cells × dim) is the only
-    broadcast — O(cells), never O(corpus)."""
+    broadcast — O(cells), never O(corpus).
+
+    SIZING: the rerank tail costs O(n_probe · n/n_cells) candidates per
+    vector — O(n²·n_probe/n_cells) total — so a FIXED cell count makes
+    cells O(corpus) and the tail quadratic. ``n_cells=None`` sizes it
+    from one cheap count as ``max(16, ceil(√n))``, the classical IVF
+    balance point (cells and cell-size both O(√n), total rerank
+    O(n^1.5·n_probe)); the ``_bucketed_topk`` hot-bucket cap remains the
+    backstop for skewed assignments. Pass an explicit ``n_cells`` to
+    pin the layout (the driver gate pins 16 so its oracle is stable)."""
     base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if n_cells is None:
+        import math
+
+        n_total = base.count()
+        # ceil(sqrt(n)) = isqrt(n-1) + 1 for n > 0
+        n_cells = max(16, math.isqrt(max(n_total - 1, 0)) + 1)
+        n_cells = min(n_cells, max(n_total, 1))
     cent_pdf = (
         base.orderBy("vec_id")
         .limit(n_cells)
@@ -342,4 +363,4 @@ def cosine_topk_ivf(
             ]
         ),
     )
-    return _bucketed_topk(assigned, k)
+    return _bucketed_topk(assigned, k, max_bucket=max_bucket, chunk_rows=chunk_rows)

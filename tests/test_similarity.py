@@ -60,6 +60,103 @@ def test_ivf_recall_floor(spark, emb):
             assert abs(r.cosine - exact_cos[(r.vec_id, r.neighbor)]) < 1e-9
 
 
+def test_bruteforce_guard_fails_fast(spark, emb, monkeypatch):
+    """Over-bound corpora must raise BEFORE any driver collect and the
+    error must route to the ANN paths (mirrors jaccard_pairs' guard)."""
+    with pytest.raises(ValueError, match="cosine_topk_lsh"):
+        cosine_topk_bruteforce(emb, k=3, max_rows=10).count()
+    with pytest.raises(ValueError, match="cells"):
+        cosine_topk_bruteforce(emb, k=3, max_rows=10**9, max_cells=100).count()
+    # structural: the guard sits before the collect — poison toPandas to
+    # prove an over-bound corpus NEVER reaches it (ValueError, not this)
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("over-bound corpus reached toPandas")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    with pytest.raises(ValueError, match="exceeds the exact-baseline"):
+        cosine_topk_bruteforce(emb, k=3, max_rows=10)
+
+
+def test_bucketed_rerank_chunking_is_invariant(spark, emb):
+    """chunk_rows only splits the matmul: tiny chunks vs one big chunk
+    must give byte-identical (vec_id, neighbor, cosine, rk) sets, and a
+    single all-corpus bucket must equal exact brute force."""
+    from pyspark.sql import functions as F
+
+    from proxyfeatureextraction_spark.operators.similarity import _bucketed_topk
+
+    one_bucket = emb.select(
+        F.col("vec_id"), F.lit(0).cast("long").alias("bucket"), F.col("embedding")
+    )
+    small = _bucketed_topk(one_bucket, k=3, max_bucket=None, chunk_rows=7).toPandas()
+    big = _bucketed_topk(one_bucket, k=3, max_bucket=None, chunk_rows=10**6).toPandas()
+    key = lambda pdf: set(  # noqa: E731
+        zip(pdf["vec_id"], pdf["neighbor"], pdf["cosine"], pdf["rk"])
+    )
+    assert key(small) == key(big)
+    exact = cosine_topk_bruteforce(emb, k=3).toPandas()
+    assert key(small) == key(exact)
+
+
+def test_hot_bucket_cap_drops_megabucket(spark):
+    """Adversarial corpus: 200k vectors ALL hashed to one bucket. The
+    max_bucket cap must drop the bucket before the grouped-map — the
+    O(bucket²) rerank never runs (output is empty and the job finishes
+    in seconds, not the ~3×10¹⁰-cell matrix the uncapped tail implies).
+    A small healthy bucket in the same frame still reranks."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from proxyfeatureextraction_spark.operators.similarity import _bucketed_topk
+
+    n_mega = 200_000
+    mega = spark.range(n_mega).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).cast("long").alias("bucket"),
+        F.array(*[(F.rand(seed=i) * 2 - 1).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    healthy = spark.range(n_mega, n_mega + 50).select(
+        F.col("id").alias("vec_id"),
+        F.lit(1).cast("long").alias("bucket"),
+        F.array(*[(F.rand(seed=100 + i) * 2 - 1).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    out = _bucketed_topk(mega.unionByName(healthy), k=3, max_bucket=50_000).toPandas()
+    assert (out["vec_id"] >= n_mega).all() and len(out) == 50 * 3
+    # and with a cap admitting the bucket, chunking (not O(bucket²)
+    # materialization) is what runs — spot-check a 5k slice completes
+    slice5k = mega.filter(F.col("vec_id") < 5_000)
+    got = _bucketed_topk(slice5k, k=1, max_bucket=10_000, chunk_rows=512).count()
+    assert got == 5_000
+
+
+def test_ivf_auto_cell_sizing(spark, emb):
+    """n_cells=None sizes cells as max(16, ceil(sqrt(n))) from one count;
+    results stay deterministic with a sane recall floor."""
+    from proxyfeatureextraction_spark.operators.similarity import cosine_topk_ivf
+
+    n = emb.count()  # 500 → 23 cells
+    auto = cosine_topk_ivf(emb, k=3, n_cells=None, n_probe=2).toPandas()
+    again = cosine_topk_ivf(emb, k=3, n_cells=None, n_probe=2).toPandas()
+    assert set(zip(auto["vec_id"], auto["neighbor"])) == set(
+        zip(again["vec_id"], again["neighbor"])
+    )
+    exact = cosine_topk_bruteforce(emb, k=3).toPandas()
+    exact_pairs = set(zip(exact["vec_id"], exact["neighbor"]))
+    recall = len(set(zip(auto["vec_id"], auto["neighbor"])) & exact_pairs) / len(
+        exact_pairs
+    )
+    # 23 cells 2-probe: sparser than the pinned 8-cell gate, so a lower
+    # floor — but still far above the 2/23 chance candidate rate
+    assert recall > 0.25, recall
+    assert n == 500
+
+
 def test_lsh_recall_floor(spark, emb):
     exact = cosine_topk_bruteforce(emb, k=3).toPandas()
     approx = cosine_topk_lsh(emb, k=3, n_planes=4, n_tables=8, seed=42).toPandas()
