@@ -582,6 +582,18 @@ def q_dedup_jaccard_scalable(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Order-sensitive n-gram Jaccard near-dup pairs: word 3-gram
+    shingles → minhash → band bucket-join candidates → EXACT shingle-set
+    Jaccard verify, fully distributed. Complements the word-SET routes:
+    permuted texts (identical word sets) do NOT pair here."""
+    from proxyfeatureextraction_spark.operators.dedup import jaccard_pairs_scalable
+
+    return jaccard_pairs_scalable(
+        _table(spark, sf_dir, "documents"), threshold=0.8, n_perm=16, bands=8, shingle=3
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (word→minhash→band→bucket join),
     exact-dup pre-collapse + hot-bucket cap. Oracle-checkable: the
@@ -613,8 +625,20 @@ def _word_hash_sql(word_expr: str) -> str:
     )
 
 
-def _minhash_oracle(n_perm: int = 16, bands: int = 4, max_bucket: int = 5000) -> str:
-    """DuckDB twin of operators.dedup.minhash_lsh_candidates (defaults)."""
+def _shingle_list_sql(toks_expr: str, n: int) -> str:
+    """DuckDB twin of operators.dedup._shingle_col over a token list."""
+    return f"""CASE WHEN len({toks_expr}) >= {n}
+                    THEN list_transform(range(1, len({toks_expr}) - {n} + 2),
+                                        i -> array_to_string(({toks_expr})[i:i+{n - 1}], ' '))
+                    WHEN len({toks_expr}) > 0 THEN [array_to_string({toks_expr}, ' ')]
+                    ELSE [] END"""
+
+
+def _minhash_oracle(
+    n_perm: int = 16, bands: int = 4, max_bucket: int = 5000, shingle: int | None = None
+) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_candidates (defaults);
+    ``shingle=n`` mirrors the word n-gram token unit."""
     from proxyfeatureextraction_spark.operators.dedup import (
         HASH_BASE,
         HASH_MOD,
@@ -633,11 +657,20 @@ def _minhash_oracle(n_perm: int = 16, bands: int = 4, max_bucket: int = 5000) ->
             sig = f"(({sig}) * {HASH_BASE} + h{bi * rpb + r}) % {HASH_MOD}"
         band_selects.append(f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM mh")
     bands_sql = "\n        UNION ALL ".join(band_selects)
+    if shingle is None:
+        w_cte = """w AS (SELECT doc_id, w FROM reps,
+                     UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
+              WHERE length(w) > 0)"""
+    else:
+        w_cte = f"""tk AS (SELECT doc_id,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM reps),
+        w AS (SELECT doc_id, w FROM tk,
+                     UNNEST(list_distinct({_shingle_list_sql('toks', shingle)})) AS t(w))"""
     return f"""
         WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-        w AS (SELECT doc_id, w FROM reps,
-                     UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
-              WHERE length(w) > 0),
+        {w_cte},
         wh AS (SELECT doc_id, {_word_hash_sql('w')} AS h FROM w),
         mh AS (SELECT doc_id, {mins} FROM wh GROUP BY doc_id),
         bands AS ({bands_sql}),
@@ -1047,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
@@ -1401,6 +1435,32 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END, 6) AS jaccard
         FROM v
         -- threshold the UNROUNDED ratio (matches jaccard_pairs*'s contract)
+        WHERE CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END >= 0.8
+        """,
+        # shingle candidates + exact shingle-set Jaccard verify — DuckDB
+        # twin of jaccard_pairs_scalable(shingle=3)
+        "dedup_ngram_jaccard": f"""
+        WITH cand AS ({_minhash_oracle(16, 8, shingle=3)}),
+        dtk AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ),
+        sets AS (
+          SELECT doc_id, list_distinct({_shingle_list_sql('toks', 3)}) AS ws FROM dtk
+        ),
+        v AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(sa.ws, sb.ws)) AS ninter,
+                 len(list_distinct(list_concat(sa.ws, sb.ws))) AS nunion
+          FROM cand c
+          JOIN sets sa ON c.doc_a = sa.doc_id
+          JOIN sets sb ON c.doc_b = sb.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END, 6) AS jaccard
+        FROM v
         WHERE CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END >= 0.8
         """,
         "dedup_simhash": _simhash_oracle(),

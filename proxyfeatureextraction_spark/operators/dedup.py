@@ -76,6 +76,41 @@ def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.length("w") > 0)
 
 
+def _shingle_col(text_col: str, n: int) -> Column:
+    """Word n-gram shingles (space-joined strings), pure JVM.
+
+    Docs with fewer than ``n`` words collapse to ONE whole-text shingle
+    (instead of zero) so short docs stay comparable; empty/null text
+    yields an empty array. Shingles preserve word ORDER, so unlike the
+    word-set routes, permuted texts do NOT collide here.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(
+        # < n words: one whole-text shingle; == 0 words: toks itself is
+        # already the typed empty array
+        F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(toks)
+    )
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str, shingle: int | None) -> DataFrame:
+    """(doc_id, w) rows: distinct words, or distinct n-gram shingles."""
+    if shingle is None:
+        return _words(df, id_col, text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_shingle_col(text_col, shingle))).alias("w"),
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct content: survivor id + copy count."""
     return df.groupBy(text_col).agg(
@@ -240,8 +275,13 @@ def jaccard_pairs_scalable(
     n_perm: int = 16,
     bands: int = 8,
     max_bucket: int | None = 5_000,
+    shingle: int | None = None,
 ) -> DataFrame:
     """Unbounded-corpus near-dup pairs: LSH candidates, EXACT verify.
+
+    ``shingle=n`` runs the WHOLE route on word n-gram shingles —
+    candidates from shingle minhash, exact verify on shingle-set
+    Jaccard — i.e. order-sensitive n-gram Jaccard dedup at scale.
 
     The judge-suggested auto-route past ``jaccard_pairs``'s driver
     bound: ``minhash_lsh_candidates`` proposes pairs (fully
@@ -260,15 +300,16 @@ def jaccard_pairs_scalable(
     """
     cands = minhash_lsh_candidates(
         df, n_perm=n_perm, bands=bands, id_col=id_col,
-        text_col=text_col, max_bucket=max_bucket,
+        text_col=text_col, max_bucket=max_bucket, shingle=shingle,
     )
-    sets = df.select(
-        F.col(id_col).alias("_sid"),
-        F.filter(
+    if shingle is None:
+        set_col = F.filter(
             F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
             lambda w: F.length(w) > 0,
-        ).alias("_ws"),
-    )
+        )
+    else:
+        set_col = F.array_distinct(_shingle_col(text_col, shingle))
+    sets = df.select(F.col(id_col).alias("_sid"), set_col.alias("_ws"))
     a = sets.select(F.col("_sid").alias("doc_a"), F.col("_ws").alias("_wa"))
     b = sets.select(F.col("_sid").alias("doc_b"), F.col("_ws").alias("_wb"))
     inter = F.size(F.array_intersect("_wa", "_wb"))
@@ -294,8 +335,13 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     max_bucket: int | None = 5_000,
     collapse_exact: bool = True,
+    shingle: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: per-band signature equality join.
+
+    ``shingle=n`` switches the token unit from single words to word
+    n-gram shingles (shingle→minhash→band→bucket-join — the standard
+    order-sensitive near-dup pipeline); default stays word-set.
 
     Fully distributed (no broadcast): scales to arbitrary corpus size;
     band count trades recall vs candidate volume. Deterministic and
@@ -317,7 +363,7 @@ def minhash_lsh_candidates(
     base = df
     if collapse_exact:
         base = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    w = _words(base, id_col, text_col).withColumn("_h", portable_word_hash("w"))
+    w = _tokens(base, id_col, text_col, shingle).withColumn("_h", portable_word_hash("w"))
     mh = w.groupBy("doc_id").agg(
         *[F.min(_perm(F.col("_h"), i)).alias(f"h{i}") for i in range(n_perm)]
     )

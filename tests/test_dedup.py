@@ -238,6 +238,37 @@ def test_dedup_clusters_end_to_end_near_dup_removal(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_shingle_route_is_order_sensitive(spark):
+    """shingle=3 switches the unit to word 3-grams: permuted texts
+    (identical word SETS) must NOT pair, near-identical ordered texts
+    must, and sub-n-word docs fall back to one whole-text shingle."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # 1 word edit
+        (3, "dog lazy the over jumps fox brown quick the today"),    # permutation of 1
+        (4, "x y"),   # < 3 words → single whole-text shingle
+        (5, "x y"),   # exact dup of 4 → pre-collapsed, owned by exact_dedup
+        (6, "y x"),   # different order, < 3 words → different shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_scalable(
+            df, threshold=0.5, n_perm=16, bands=16, shingle=3
+        ).collect()
+    }
+    assert (1, 3) not in got and (2, 3) not in got
+    assert (4, 6) not in got and (5, 6) not in got and (4, 5) not in got
+    # docs 1,2: 8 shingles each, 7 shared → 7/9 ≈ 0.78 ≥ 0.5
+    assert got == {(1, 2): round(7 / 9, 6)}
+    # the word-SET route pairs the permutation — the semantic contrast
+    ws = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(df, threshold=0.99).collect()
+    }
+    assert (1, 3) in ws
+
+
 def test_jaccard_set_collapse_matches_bruteforce(spark):
     """Distinct-set collapse + JVM expansion must equal per-doc brute
     force, including same-set pairs (jaccard exactly 1.0), cross-set
