@@ -776,6 +776,23 @@ def q_embedding_dup_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_dup_clusters(spark, sf_dir):
+    """Embedding near-dup LAST MILE: cosine pairs above threshold →
+    connected-components collapse → total (vec_id, cluster_rep)
+    assignment (same dedup_clusters machinery as the text routes —
+    pair producers compose). Oracle: recursive closure over the same
+    pair list."""
+    from proxyfeatureextraction_spark.operators.dedup import dedup_clusters
+
+    pairs = _cosine_pairs(spark, sf_dir).filter(
+        (F.col("vec_id") < F.col("neighbor")) & (F.col("cos") > 0.4)
+    )
+    nodes = _table(spark, sf_dir, "embeddings").select("vec_id")
+    return dedup_clusters(
+        pairs, nodes=nodes, a_col="vec_id", b_col="neighbor", id_col="vec_id"
+    )
+
+
 _STOPWORDS = ("the", "a", "and", "of", "to", "in")
 _STOP_SQL = "('the','a','and','of','to','in')"
 
@@ -1087,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         "text_quality": q_text_quality,
         "token_count_regex": q_token_count_regex,
         "lang_id": q_lang_id,
@@ -1579,6 +1597,25 @@ def oracle_sql() -> dict[str, str]:
           FROM e a JOIN e b ON a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM p WHERE cos > 0.4
+        """,
+        "embedding_dup_clusters": """
+        WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ),
+        jp AS (SELECT va, vb FROM p WHERE cos > 0.4),
+        edges AS (SELECT va AS u, vb AS v FROM jp UNION SELECT vb, va FROM jp),
+        reach(d, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT reach.d, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u
+        )
+        SELECT d AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY d
         """,
         "text_quality": f"""
         WITH t AS (
