@@ -62,11 +62,33 @@ def session_stats(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
-    """Drive a streaming aggregation to completion against static files
-    (local smoke harness): memory sink + processAllAvailable."""
+def stream_dedup_exact(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: the FIRST arrival of each content survives;
+    later copies arriving within the watermark window are dropped.
+
+    Keys on sha2-256 of the text (exact up to a 2^-128 collision, state
+    rows stay hash-sized instead of document-sized) and uses
+    ``dropDuplicatesWithinWatermark`` so state is EVICTED once the key
+    ages past the watermark — the unbounded-state hazard of plain
+    ``dropDuplicates`` on an infinite stream is the whole reason this
+    operator exists. Copies that arrive later than the watermark after
+    their original are re-emitted (the documented trade: state bound vs
+    cross-epoch dedup — run the batch ``exact_dedup`` over the sink for
+    the global pass)."""
+    return (
+        stream.withWatermark(S.TS, watermark)
+        .withColumn("_content", F.sha2(F.coalesce(F.col(S.TEXT), F.lit("")), 256))
+        .dropDuplicatesWithinWatermark(["_content"])
+        .drop("_content")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drive a streaming query to completion against static files
+    (local smoke harness): memory sink + processAllAvailable.
+    ``mode="append"`` for row-emitting operators (dedup, map-only)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

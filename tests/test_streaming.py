@@ -133,3 +133,73 @@ def test_watermark_drops_late_data(spark, tmp_path):
     first_win = got[got["ws"] == pd.Timestamp("2026-01-01 10:00:00")]
     # exactly one emission for the 10:00 window, WITHOUT the late row
     assert len(first_win) == 1 and first_win["n_turns"].iloc[0] == 2
+
+
+def test_stream_dedup_exact_matches_batch_distinct(spark, transcripts_df, tmp_path):
+    """Streaming exact dedup (bounded state via
+    dropDuplicatesWithinWatermark): one survivor per distinct content
+    across micro-batches; the surviving TEXT set equals batch distinct."""
+    from proxyfeatureextraction_spark.streaming.stream_features import (
+        stream_dedup_exact,
+    )
+
+    path = _src(spark, transcripts_df, tmp_path)
+    run_to_memory(
+        stream_dedup_exact(
+            stream_transcripts(spark, path, max_files=2), watermark="365 days"
+        ),
+        "sdedup",
+        mode="append",
+    )
+    got = spark.table("sdedup").toPandas()
+    exp_texts = {
+        r.t for r in spark.read.parquet(path)
+        .select(F.coalesce(F.col(S.TEXT), F.lit("")).alias("t")).distinct().collect()
+    }
+    assert len(got) == len(exp_texts)
+    assert {("" if t is None else t) for t in got[S.TEXT]} == exp_texts
+
+
+def test_stream_dedup_drops_cross_batch_copies(spark, tmp_path):
+    """Copies arriving in LATER micro-batches (within the watermark) are
+    dropped; a genuinely new text still passes."""
+    import pandas as pd
+
+    src = str(tmp_path / "dd_src")
+    t = lambda s: pd.Timestamp(f"2026-01-01 {s}").to_pydatetime()  # noqa: E731
+    b1 = spark.createDataFrame(
+        [
+            ("f1", "relayed", "a", 0, "user", "same text", None, t("10:00:10")),
+            ("f1", "relayed", "a", 1, "assistant", "other", None, t("10:00:20")),
+        ],
+        S.TRANSCRIPT_SCHEMA,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    from proxyfeatureextraction_spark.streaming.stream_features import (
+        stream_dedup_exact,
+    )
+
+    q = (
+        stream_dedup_exact(
+            stream_transcripts(spark, src, max_files=10), watermark="1 hour"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_tbl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [
+                ("f2", "relayed", "b", 0, "user", "same text", None, t("10:05:00")),
+                ("f2", "relayed", "b", 1, "user", "brand new", None, t("10:05:10")),
+            ],
+            S.TRANSCRIPT_SCHEMA,
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dd_tbl").toPandas()
+    assert sorted(got[S.TEXT]) == ["brand new", "other", "same text"]
