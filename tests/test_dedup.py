@@ -213,6 +213,58 @@ def test_dedup_clusters_total_assignment_with_nodes(spark):
     assert survivors == {5, 7, 8}
 
 
+def test_dedup_clusters_matches_union_find_property(spark):
+    """Property check vs a pure-python union-find on random graphs —
+    random edge sets (dense, sparse, self-loops, duplicates) must label
+    every node with its component minimum (hypothesis; few examples,
+    each drives the full star-contraction loop)."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seed=st.integers(0, 2**31 - 1), n_nodes=st.integers(2, 60),
+           n_edges=st.integers(1, 120))
+    def go(seed, n_nodes, n_edges):
+        rng = np.random.default_rng(seed)
+        es = rng.integers(0, n_nodes, size=(n_edges, 2))
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for node in {int(x) for x in es.ravel()}:
+            expected[node] = find(node)
+        # expected rep must be the component MIN among touched nodes
+        comp_min: dict[int, int] = {}
+        for node, root in expected.items():
+            comp_min[root] = min(comp_min.get(root, node), node)
+        expected = {n: comp_min[r] for n, r in expected.items()}
+
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in es], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+        # self-loop-only nodes never enter the edge list → absent unless
+        # a nodes frame is passed; restrict to nodes with a real edge
+        real = {int(a) for a, b in es if a != b} | {int(b) for a, b in es if a != b}
+        assert got == {n: r for n, r in expected.items() if n in real}
+
+    go()
+
+
 def test_dedup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
