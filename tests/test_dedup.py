@@ -265,6 +265,20 @@ def test_dedup_clusters_matches_union_find_property(spark):
     go()
 
 
+def test_dedup_clusters_plan_is_equi_join(spark):
+    """Scale audit: every star round is groupBy + equi-join over the
+    edge list — no BroadcastNestedLoopJoin / CartesianProduct anywhere
+    in the final assignment plan (nodes-join included)."""
+    pairs = spark.createDataFrame(
+        [(i, (i * 7) % 40) for i in range(40)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = dedup_clusters(pairs, nodes=nodes)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "broadcastnestedloopjoin" not in plan and "cartesianproduct" not in plan
+    assert out.count() == 50
+
+
 def test_dedup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
