@@ -213,32 +213,42 @@ def jaccard_pairs(
         "doc_id", "set_id"
     )
 
+    # kernel row-chunking: at the guard ceiling (200k sets × 500k vocab)
+    # a full 10k-row Arrow batch would transiently hold batch×vocab int32
+    # + batch×S int32/float64 ≈ tens of GB; 256-row chunks bound it to
+    # ~1.6 GB worst-case with identical outputs (chunking only splits
+    # the matmul — same fix shape as similarity._bucketed_topk)
+    chunk_rows = 256
+
     def run(batches):
         inc_, sizes_ = b_inc.value, b_sizes.value
+        all_ids = np.arange(inc_.shape[0])[None, :]
         for pdf in batches:
             if pdf.empty:
                 continue
-            qid = pdf["set_id"].to_numpy()
-            # int32 @ int8: numpy's integer matmul buffers the cast, so
-            # the broadcast incidence is never materialized at 4× (the
-            # transpose is a view; only the batch rows are upcast)
-            q = inc_[qid].astype(np.int32)
-            inter = q @ inc_.T
-            union = sizes_[qid][:, None] + sizes_[None, :] - inter
-            with np.errstate(all="ignore"):
-                jac = np.where(union > 0, inter / union, 0.0)
-            # upper triangle only (set_a <= set_b); empty sets never pair
-            mask = (jac >= threshold) & (qid[:, None] <= np.arange(inc_.shape[0])[None, :])
-            ai, bi = np.nonzero(mask)
-            if not len(ai):
-                continue
-            yield pd.DataFrame(
-                {
-                    "set_a": qid[ai],
-                    "set_b": bi.astype(np.int64),
-                    "jaccard": np.round(jac[ai, bi], round_digits),
-                }
-            )
+            qid_all = pdf["set_id"].to_numpy()
+            for i0 in range(0, len(qid_all), chunk_rows):
+                qid = qid_all[i0 : i0 + chunk_rows]
+                # int32 @ int8: numpy buffers the cast, so the broadcast
+                # incidence is never materialized at 4× (the transpose is
+                # a view; only the chunk rows are upcast)
+                q = inc_[qid].astype(np.int32)
+                inter = q @ inc_.T
+                union = sizes_[qid][:, None] + sizes_[None, :] - inter
+                with np.errstate(all="ignore"):
+                    jac = np.where(union > 0, inter / union, 0.0)
+                # upper triangle only (set_a <= set_b); empty sets never pair
+                mask = (jac >= threshold) & (qid[:, None] <= all_ids)
+                ai, bi = np.nonzero(mask)
+                if not len(ai):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "set_a": qid[ai],
+                        "set_b": bi.astype(np.int64),
+                        "jaccard": np.round(jac[ai, bi], round_digits),
+                    }
+                )
 
     pair_schema = T.StructType(
         [
