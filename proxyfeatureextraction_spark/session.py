@@ -66,7 +66,12 @@ def get_spark(
         # serializes shuffle spill and caps thread scaling; a real
         # cluster has node-local NVMe that scales with executors
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _local_dir()))
-        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+        # managed (bucketed) tables + embedded metastore out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/pfx-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dio.netty.tryReflectionSetAccessible=true -Dderby.system.home=/tmp/pfx-derby",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

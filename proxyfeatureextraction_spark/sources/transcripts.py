@@ -35,6 +35,39 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str | None = None) -> 
     return spark.read.schema(S.TRANSCRIPT_SCHEMA).option("header", "true").csv(path)
 
 
+def read_documents(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Document-corpus scan for the LLM-pipeline operators (dedup /
+    similarity / text analysis): jsonl | json | parquet | csv.
+
+    JSONL (one JSON object per line, transparently gzip-decompressed)
+    is the lingua franca of training-data interchange, so it gets
+    first-class treatment: extension-dispatched, else the auto chain
+    parquet → jsonl → csv. Schema is whatever the corpus carries
+    (``doc_id``/``text`` by convention); JSON schema inference is one
+    extra pass — pass an explicit schema reader upstream for fixed
+    100 TB layouts, or land to parquet once and scan that."""
+    lower = path.rstrip("/").lower()
+    if fmt in ("jsonl", "json") or (
+        fmt is None and lower.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz"))
+    ):
+        return spark.read.json(path)
+    if fmt in (None, "parquet"):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001
+            if fmt == "parquet":
+                raise
+    if fmt is None:
+        try:
+            df = spark.read.json(path)
+            # a non-JSON dir "succeeds" as one _corrupt_record column
+            if df.columns and df.columns != ["_corrupt_record"]:
+                return df
+        except Exception:  # noqa: BLE001
+            pass
+    return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+
 def filter_split(
     df: DataFrame, manifest: DataFrame, split: str, folder_col: str = S.FOLDER
 ) -> DataFrame:
