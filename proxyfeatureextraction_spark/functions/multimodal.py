@@ -1,12 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 The Spark-side machinery is real and tested — schema, partitioning,
-Arrow batch shape, vectorized UDF signatures; the codec step itself is
-STUBBED (the image/audio libraries are not in this container):
-``decode_mode='fake'`` produces a deterministic synthetic decode so
-downstream feature plumbing is exercisable end-to-end, and
-``decode_mode='real'`` raises ``NotImplementedError`` at the exact
-point a PIL/libav call would slot in.
+Arrow batch shape, vectorized UDF signatures. The codec step:
+
+- ``decode_mode='real'`` REALLY decodes the formats the container can
+  handle with stdlib+numpy — WAV/PCM audio (``wave``), binary PPM/PGM
+  and 24-bit uncompressed BMP images — and extracts a deterministic
+  16-dim signal-statistics feature vector. Entropy-coded formats
+  (JPEG/PNG/MP3/H.264) raise ``NotImplementedError`` at the exact point
+  a PIL/libav call would slot in (those libs are not in this
+  container).
+- ``decode_mode='fake'`` produces a deterministic synthetic decode for
+  arbitrary payloads so downstream plumbing is exercisable end-to-end
+  regardless of format (the driver gates use it: their payloads are
+  text bytes, not valid media).
 """
 
 from __future__ import annotations
@@ -72,6 +79,134 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (mono float64 samples in [-1, 1], sample_rate); stdlib."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 3:  # packed 24-bit little-endian
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64) / float(1 << 23)
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    return x.reshape(-1, nch).mean(axis=1), rate
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → float64 (h, w, c) in [0, 1]; numpy."""
+    tokens, i = [], 2  # skip magic
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    c = 3 if payload[:2] == b"P6" else 1
+    dt = np.uint8 if maxval < 256 else ">u2"
+    arr = np.frombuffer(payload, dtype=dt, count=w * h * c, offset=i)
+    return arr.reshape(h, w, c).astype(np.float64) / maxval
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BITMAPINFOHEADER BMP → float64 (h, w, 3) RGB."""
+    import struct
+
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hsz, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+    if hsz < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP variant (header={hsz}, bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+    if flip:
+        img = img[::-1]
+    return img.astype(np.float64) / 255.0
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """16 deterministic image stats: geometry, per-channel moments,
+    luma extremes/percentiles, gradient energy."""
+    h, w = img.shape[:2]
+    ch = [img[..., k] for k in range(img.shape[2])] if img.ndim == 3 else [img]
+    while len(ch) < 3:
+        ch.append(ch[-1])
+    luma = 0.2126 * ch[0] + 0.7152 * ch[1] + 0.0722 * ch[2]
+    gx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+    gy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
+    feats = [
+        float(w), float(h), w / max(h, 1),
+        *(float(c.mean()) for c in ch[:3]),
+        *(float(c.std()) for c in ch[:3]),
+        float(luma.min()), float(luma.max()),
+        float(np.percentile(luma, 25)), float(np.percentile(luma, 75)),
+        float(gx), float(gy), 0.0,
+    ]
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
+
+
+def _audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    """16 deterministic audio stats: duration/rate, level stats, zero
+    crossings, octave-ish FFT band energies."""
+    n = len(x)
+    dur = n / max(rate, 1)
+    rms = float(np.sqrt((x**2).mean())) if n else 0.0
+    peak = float(np.abs(x).max()) if n else 0.0
+    zcr = float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0
+    bands = [0.0] * 6
+    if n > 1:
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        freqs = np.fft.rfftfreq(n, d=1.0 / max(rate, 1))
+        edges = [0, 125, 250, 500, 1000, 2000, 1e9]
+        tot = spec.sum() or 1.0
+        bands = [
+            float(spec[(freqs >= lo) & (freqs < hi)].sum() / tot)
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+    feats = [
+        float(rate), float(n), dur, rms, peak, zcr,
+        float(x.mean()) if n else 0.0, float(x.std()) if n else 0.0,
+        *bands, 0.0, 0.0,
+    ]
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
+
+
+def _real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Magic-byte-dispatched REAL decode for container-feasible formats."""
+    p = payload or b""
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return _audio_features(*_decode_wav(p))
+    if p[:2] in (b"P6", b"P5"):
+        return _image_features(_decode_pnm(p))
+    if p[:2] == b"BM":
+        return _image_features(_decode_bmp(p))
+    raise NotImplementedError(
+        f"payload format {p[:4]!r} ({kind}) needs an entropy codec "
+        f"(JPEG/PNG/MP3/H.264) — plug PIL/torchaudio/pyav here; WAV, "
+        f"PPM/PGM and 24-bit BMP decode for real in-container"
+    )
+
+
 def decode_and_featurize(media: DataFrame, decode_mode: str = "fake") -> DataFrame:
     """mapInPandas decode/feature-extract over opaque payloads.
 
@@ -83,17 +218,12 @@ def decode_and_featurize(media: DataFrame, decode_mode: str = "fake") -> DataFra
         raise ValueError(decode_mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_decode if decode_mode == "real" else _fake_decode
         for pdf in batches:
             if pdf.empty:
                 continue
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real codecs unavailable in this container — plug "
-                    "PIL/torchaudio/pyav here; the fake path exercises "
-                    "the identical Spark plumbing"
-                )
             payloads = pdf["payload"]
-            feats = [_fake_decode(p, k) for p, k in zip(payloads, pdf["kind"])]
+            feats = [decode(p, k) for p, k in zip(payloads, pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
