@@ -257,6 +257,80 @@ def resize_plan(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFra
     )
 
 
+def _bilinear_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Separable bilinear resample, pure numpy (align-corners=False,
+    the OpenCV/PIL convention). (h, w, c) float64 → (out_h, out_w, c)."""
+    h, w = img.shape[:2]
+    # source sample positions for each output pixel center
+    sx = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+    sy = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (sx - x0)[None, :, None]
+    fy = (sy - y0)[:, None, None]
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),  # re-encoded P6 PPM
+    ]
+)
+
+
+def resize_pixels(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """REAL pixel resize for decodable image payloads (PPM/PGM/BMP):
+    decode → aspect-preserving bilinear downscale into (max_w, max_h),
+    never upscaling — the same geometry contract as ``resize_plan``,
+    which stays the pure-JVM planning face — → re-encode as binary P6
+    PPM so the output is itself a decodable media column. Non-image or
+    non-decodable payloads raise (route them through ``resize_plan`` +
+    the external codec instead)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, ws, hs, blobs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = payload or b""
+                if p[:2] in (b"P6", b"P5"):
+                    img = _decode_pnm(p)
+                elif p[:2] == b"BM":
+                    img = _decode_bmp(p)
+                else:
+                    raise NotImplementedError(
+                        f"media_id={mid}: payload {p[:4]!r} is not a "
+                        f"decodable image format (PPM/PGM/BMP)"
+                    )
+                if img.ndim == 2 or img.shape[2] == 1:
+                    img = np.repeat(img.reshape(*img.shape[:2], 1), 3, axis=2)
+                h, w = img.shape[:2]
+                scale = min(max_w / w, max_h / h, 1.0)
+                out_w = max(int(w * scale), 1)
+                out_h = max(int(h * scale), 1)
+                out = _bilinear_resize(img, out_w, out_h)
+                px = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+                ids.append(mid)
+                ws.append(out_w)
+                hs.append(out_h)
+                blobs.append(b"P6\n%d %d\n255\n" % (out_w, out_h) + px.tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "out_w": ws, "out_h": hs, "payload": blobs}
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one row per planned frame via
     sequence+explode (the decode of each frame is the stub above)."""

