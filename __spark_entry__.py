@@ -826,6 +826,17 @@ def q_text_quality(spark, sf_dir):
     return d
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical pre-dedup text normalization (pure JVM regex pipeline):
+    control chars → space, URL/email/digit-run masking, lowercase,
+    whitespace collapse. Dedup over the normalized column materially
+    improves near-dup recall; raw text stays for training."""
+    from proxyfeatureextraction_spark.functions.text import normalize_text
+
+    d = _table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_text("text", mask_digits=True).alias("norm"))
+
+
 def q_token_count_regex(spark, sf_dir):
     """BPE-ish regex token counting ([a-z]+ | digits | other symbol)."""
     d = _table(spark, sf_dir, "documents")
@@ -1106,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "text_quality": q_text_quality,
+        "text_normalize": q_text_normalize,
         "token_count_regex": q_token_count_regex,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1616,6 +1628,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT reach.d, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u
         )
         SELECT d AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY d
+        """,
+        # same regex pipeline, same order: control → url → email → num →
+        # lower → collapse/trim ('g' flag: DuckDB replace is first-match
+        # by default, Spark's is global)
+        "text_normalize": r"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                 lower(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(coalesce(text, ''), '[\x00-\x1f\x7f]', ' ', 'g'),
+                         '(https?://|www\.)[^\s]+', '<url>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                     '[0-9]+', '<num>', 'g')
+                 ),
+                 '\s+', ' ', 'g')) AS norm
+        FROM documents
         """,
         "text_quality": f"""
         WITH t AS (

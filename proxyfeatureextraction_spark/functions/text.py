@@ -100,6 +100,38 @@ def fingerprint(text_col: str = "text") -> Column:
     )
 
 
+#: masking tokens for the normalize step (pre-dedup canonical form)
+URL_RE = r"(https?://|www\.)[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def normalize_text(
+    text_col: str = "text",
+    lowercase: bool = True,
+    mask_urls: bool = True,
+    mask_emails: bool = True,
+    mask_digits: bool = False,
+) -> Column:
+    """Canonical pre-dedup text form, pure JVM regex pipeline:
+    control chars → space, URLs → ``<url>``, emails → ``<email>``
+    (optionally digit runs → ``<num>``), lowercase, whitespace
+    collapsed + trimmed. Near-dup recall improves materially when docs
+    are normalized BEFORE word-set/shingle hashing (case and boilerplate
+    URLs otherwise split word-sets); run dedup over this column and keep
+    the raw text for training."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    if mask_urls:
+        c = F.regexp_replace(c, URL_RE, "<url>")
+    if mask_emails:
+        c = F.regexp_replace(c, EMAIL_RE, "<email>")
+    if mask_digits:
+        c = F.regexp_replace(c, r"[0-9]+", "<num>")
+    if lowercase:
+        c = F.lower(c)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = (
         df.withColumn("n_tokens", token_count(text_col))

@@ -143,6 +143,44 @@ def test_multimodal_real_decode_wav_ppm_bmp(spark):
     assert bmp[3] == 0.0 and bmp[4] == 0.0 and abs(bmp[5] - 1.0) < 1e-6  # solid blue
 
 
+def test_normalize_text_edges_and_dedup_composition(spark):
+    """Edge cases (null, control chars, cased URLs/emails, digit runs),
+    idempotence, and the point of it all: docs differing only in case /
+    URL / whitespace normalize to the SAME text and exact-dedup
+    collapses them."""
+    from proxyfeatureextraction_spark.functions.text import normalize_text
+    from proxyfeatureextraction_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, "Visit https://EXAMPLE.com/Path?q=1 NOW\tplease"),
+        (2, "visit   <url> now please"),          # normalized twin of 1
+        (3, None),
+        (4, "mail Bob@Ex.COM x7y99"),
+        (5, "\x07\x1f  spaced\x00out  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", normalize_text("text", mask_digits=True).alias("norm")
+    )
+    got = {r.doc_id: r.norm for r in out.collect()}
+    assert got[1] == "visit <url> now please" == got[2]
+    assert got[3] == ""
+    assert got[4] == "mail <email> x<num>y<num>"
+    assert got[5] == "spaced out"
+    # idempotent: normalizing the normalized column is a no-op
+    again = {
+        r.doc_id: r.n2
+        for r in out.select(
+            "doc_id", normalize_text("norm", mask_digits=True).alias("n2")
+        ).collect()
+    }
+    assert again == got
+    # composition: dedup over the normalized column collapses 1 and 2
+    groups = exact_dedup(out.select("doc_id", F.col("norm").alias("text")))
+    stats = {(r.keep_id, r.copies) for r in groups.collect()}
+    assert (1, 2) in stats
+
+
 def test_resize_pixels_real_bilinear(spark):
     """Real pixel resize: decodes, bilinear-downsamples (checked against
     an independent numpy computation on a gradient image), re-encodes as
