@@ -49,11 +49,28 @@ WITH ev AS (
 )
 """
 
-# word-set Jaccard >= 0.8 pair list over `documents` — shared between the
-# dedup_jaccard gate and the dedup_near_survivors recursive closure
-_JACCARD_CTES = """
+# word-set Jaccard >= 0.8 pair list — shared between the dedup_jaccard
+# gate, the dedup_near_survivors closure, and (over a normalized source
+# CTE) the dedup_corpus pipeline oracle
+def _jaccard_ctes(src: str = "documents") -> str:
+    return _JACCARD_CTES_TPL.format(src=src)
+
+
+def _normalize_sql(expr: str, mask_digits: bool = False) -> str:
+    """DuckDB twin of functions.text.normalize_text (same step order;
+    'g' flag — DuckDB replace is first-match by default, Spark's is
+    global)."""
+    c = rf"regexp_replace(coalesce({expr}, ''), '[\x00-\x1f\x7f]', ' ', 'g')"
+    c = rf"regexp_replace({c}, '(https?://|www\.)[^\s]+', '<url>', 'g')"
+    c = rf"regexp_replace({c}, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<email>', 'g')"
+    if mask_digits:
+        c = rf"regexp_replace({c}, '[0-9]+', '<num>', 'g')"
+    return rf"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+
+
+_JACCARD_CTES_TPL = """
         w AS (
-          SELECT doc_id, w FROM documents,
+          SELECT doc_id, w FROM {src},
                  UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
           WHERE length(w) > 0
         ),
@@ -1019,6 +1036,17 @@ def q_dedup_near_survivors(spark, sf_dir):
     return dedup_clusters(jaccard_pairs(d, threshold=0.8), nodes=d)
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """The one-call dedup pipeline: normalize → exact-dup edges + rep-
+    level near-dup pairs (auto-routed) → star-contraction clusters →
+    total (doc_id, cluster_rep, is_survivor). Oracle: the same
+    normalize SQL feeding the jaccard pair list, same-text edges, and a
+    recursive closure."""
+    from proxyfeatureextraction_spark.operators.dedup import dedup_corpus
+
+    return dedup_corpus(_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def q_rollup_counts(spark, sf_dir):
     """Grouping sets: rollup over (event_type, dir)."""
     e = _events(spark, sf_dir)
@@ -1129,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_stats": q_salted_stats,
         "dedup_survivors": q_dedup_survivors,
         "dedup_near_survivors": q_dedup_near_survivors,
+        "dedup_corpus": q_dedup_corpus,
         "rollup_counts": q_rollup_counts,
         "pivot_counts": q_pivot_counts,
     }
@@ -1423,13 +1452,13 @@ def oracle_sql() -> dict[str, str]:
         FROM g
         """,
         "dedup_jaccard": f"""
-        WITH {_JACCARD_CTES}
+        WITH {_jaccard_ctes()}
         SELECT doc_a, doc_b, jaccard FROM jpairs
         """,
         # connected components over the SAME pair list: recursive-CTE
         # transitive closure, min reachable id = the star-contraction rep
         "dedup_near_survivors": f"""
-        WITH RECURSIVE {_JACCARD_CTES},
+        WITH RECURSIVE {_jaccard_ctes()},
         edges AS (
           SELECT doc_a AS u, doc_b AS v FROM jpairs
           UNION
@@ -1441,6 +1470,37 @@ def oracle_sql() -> dict[str, str]:
           SELECT reach.d, e.v FROM reach JOIN edges e ON reach.r = e.u
         )
         SELECT d AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY d
+        """,
+        # one-call pipeline: normalized source CTE feeds the same pair
+        # list + same-text edges + closure; rep-level pairing in Spark
+        # and all-pairs here give identical components (same-text docs
+        # share identical word-sets)
+        "dedup_corpus": f"""
+        WITH RECURSIVE nd AS (
+          SELECT doc_id, {_normalize_sql('text')} AS text FROM documents
+        ),
+        {_jaccard_ctes('nd')},
+        ex AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nd a JOIN nd b ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        alle AS (
+          SELECT doc_a, doc_b FROM jpairs
+          UNION
+          SELECT doc_a, doc_b FROM ex
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM alle
+          UNION
+          SELECT doc_b, doc_a FROM alle
+        ),
+        reach(d, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.d, e.v FROM reach JOIN edges e ON reach.r = e.u
+        )
+        SELECT d AS doc_id, min(r) AS cluster_rep, min(r) = d AS is_survivor
+        FROM reach GROUP BY d
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         # LSH candidates (bands=8) + exact list-Jaccard verify — DuckDB
@@ -1629,22 +1689,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY d
         """,
-        # same regex pipeline, same order: control → url → email → num →
-        # lower → collapse/trim ('g' flag: DuckDB replace is first-match
-        # by default, Spark's is global)
-        "text_normalize": r"""
-        SELECT doc_id,
-               trim(regexp_replace(
-                 lower(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(coalesce(text, ''), '[\x00-\x1f\x7f]', ' ', 'g'),
-                         '(https?://|www\.)[^\s]+', '<url>', 'g'),
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
-                     '[0-9]+', '<num>', 'g')
-                 ),
-                 '\s+', ' ', 'g')) AS norm
+        "text_normalize": f"""
+        SELECT doc_id, {_normalize_sql('text', mask_digits=True)} AS norm
         FROM documents
         """,
         "text_quality": f"""

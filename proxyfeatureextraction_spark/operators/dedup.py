@@ -446,6 +446,70 @@ def simhash_buckets(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    normalize: bool = True,
+    method: str = "auto",
+    shingle: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """One-call corpus dedup: (doc_id, cluster_rep, is_survivor).
+
+    The full last mile as a single operator — what a training-data
+    pipeline actually calls:
+
+    1. optional ``normalize_text`` canonical form (case / URL / email /
+       control-char / whitespace differences stop splitting word-sets);
+    2. exact-dup edges (doc → min-id rep per distinct normalized text —
+       covers empty/whitespace docs the Jaccard routes ignore);
+    3. near-dup pairs over the DISTINCT-text representatives only
+       (near-dup cost scales with distinct contents, not doc count):
+       ``method='exact'`` → ``jaccard_pairs`` (guarded baseline),
+       ``'scalable'`` → ``jaccard_pairs_scalable`` (LSH + exact verify),
+       ``'auto'`` → exact first, scalable when its fail-fast bound
+       raises (the guard fires at plan-build, before any collect);
+    4. ``dedup_clusters`` star contraction over the union edge list →
+       total assignment; survivors are ``cluster_rep == doc_id``.
+
+    Keep the RAW text for training; dedup on the canonical form.
+    """
+    from proxyfeatureextraction_spark.functions.text import normalize_text
+
+    norm = (
+        normalize_text(text_col)
+        if normalize
+        else F.coalesce(F.col(text_col), F.lit(""))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("_t"))
+    reps = base.groupBy("_t").agg(F.min("doc_id").alias("doc_id"))
+    exact_edges = (
+        base.join(reps.withColumnRenamed("doc_id", "_rep"), "_t")
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    rep_docs = reps.select("doc_id", F.col("_t").alias("text"))
+    if method not in ("auto", "exact", "scalable"):
+        raise ValueError(method)
+    if method in ("auto", "exact") and shingle is None:
+        try:
+            near = jaccard_pairs(rep_docs, threshold=threshold)
+        except ValueError:
+            if method == "exact":
+                raise
+            near = jaccard_pairs_scalable(rep_docs, threshold=threshold)
+    else:
+        near = jaccard_pairs_scalable(rep_docs, threshold=threshold, shingle=shingle)
+    edges = exact_edges.unionByName(near.select("doc_a", "doc_b"))
+    assign = dedup_clusters(edges, nodes=df.select(F.col(id_col).alias("doc_id")),
+                            max_iter=max_iter)
+    return assign.withColumn(
+        "is_survivor", F.col("cluster_rep") == F.col("doc_id")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,

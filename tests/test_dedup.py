@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from proxyfeatureextraction_spark.operators.dedup import (
     dedup_clusters,
+    dedup_corpus,
     jaccard_pairs,
     jaccard_pairs_scalable,
     minhash_lsh_candidates,
@@ -177,6 +178,70 @@ def test_jaccard_default_cells_bound_is_tight():
 
     sig = inspect.signature(jaccard_pairs)
     assert sig.parameters["max_cells"].default == 200_000_000
+
+
+def _corpus(spark):
+    rows = [
+        (1, "The Quick Brown Fox jumps over https://A.example/x"),
+        (2, "the quick brown fox jumps over <url>"),     # normalized twin of 1
+        (3, "the quick brown fox jumps over the lazy dog today ok"),
+        (4, "the quick brown fox jumps over the lazy dog tonight ok"),  # ~0.83 vs 3
+        (5, ""),
+        (6, "   "),          # whitespace-only: normalized twin of 5
+        (7, None),           # null: normalized twin of 5
+        (8, "zzz completely different content here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """One call: normalize collapses case/URL twins, exact edges collapse
+    empty/whitespace/null docs, jaccard chains near-dups, survivors are
+    the per-cluster minima."""
+    got = {
+        r.doc_id: (r.cluster_rep, r.is_survivor)
+        for r in dedup_corpus(_corpus(spark), threshold=0.8).collect()
+    }
+    assert got[1] == (1, True) and got[2] == (1, False)
+    assert got[3] == (3, True) and got[4] == (3, False)
+    assert got[5] == (5, True) and got[6] == (5, False) and got[7] == (5, False)
+    assert got[8] == (8, True)
+
+
+def test_dedup_corpus_scalable_matches_exact_path(spark):
+    exact = {
+        (r.doc_id, r.cluster_rep)
+        for r in dedup_corpus(_corpus(spark), method="exact").collect()
+    }
+    scal = {
+        (r.doc_id, r.cluster_rep)
+        for r in dedup_corpus(_corpus(spark), method="scalable").collect()
+    }
+    assert exact == scal
+
+
+def test_dedup_corpus_auto_falls_back_when_guard_fires(spark, monkeypatch):
+    """auto: when the exact baseline's fail-fast bound raises at plan
+    build, the pipeline routes to the scalable path transparently."""
+    import proxyfeatureextraction_spark.operators.dedup as dd
+
+    real = dd.jaccard_pairs
+
+    def tiny_bound(df, **kw):
+        kw["max_sets"] = 2
+        return real(df, **kw)
+
+    monkeypatch.setattr(dd, "jaccard_pairs", tiny_bound)
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in dedup_corpus(_corpus(spark), method="auto").collect()
+    }
+    assert got[4] == 3 and got[2] == 1
+    # and method='exact' surfaces the guard instead of silently routing
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="minhash"):
+        dedup_corpus(_corpus(spark), method="exact")
 
 
 def test_dedup_clusters_chain_collapses_to_one_rep(spark):
