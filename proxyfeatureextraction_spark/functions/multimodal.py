@@ -331,6 +331,61 @@ def resize_pixels(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataF
     ).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def audio_window_stats(media: DataFrame, window_ms: int = 100) -> DataFrame:
+    """REAL windowed audio analysis for decodable (WAV) payloads: one
+    row per ``window_ms`` window with RMS / peak / zero-crossing rate.
+    Decode happens once per blob; the windowing is a vectorized reshape
+    (ragged tail kept as a short final window). The audio face of
+    ``frame_sample_plan`` — that one plans video frame timestamps for an
+    external codec, this one computes the windows in-engine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: dict[str, list] = {k.name: [] for k in AUDIO_WINDOW_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = payload or b""
+                if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+                    raise NotImplementedError(
+                        f"media_id={mid}: payload {p[:4]!r} is not PCM WAV"
+                    )
+                x, rate = _decode_wav(p)
+                step = max(int(rate * window_ms / 1000), 1)
+                n_win = (len(x) + step - 1) // step
+                for wi in range(n_win):
+                    seg = x[wi * step : (wi + 1) * step]
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(wi)
+                    out["start_ms"].append(int(wi * step * 1000 / rate))
+                    out["n_samples"].append(len(seg))
+                    out["rms"].append(float(np.sqrt((seg**2).mean())))
+                    out["peak"].append(float(np.abs(seg).max()))
+                    out["zcr"].append(
+                        float((np.diff(np.signbit(seg)) != 0).mean())
+                        if len(seg) > 1
+                        else 0.0
+                    )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one row per planned frame via
     sequence+explode (the decode of each frame is the stub above)."""

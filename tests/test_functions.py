@@ -221,6 +221,52 @@ def test_resize_pixels_real_bilinear(spark):
     np.testing.assert_allclose(rt, _decode_pnm(small), atol=1 / 255 + 1e-9)
 
 
+def test_audio_window_stats_real(spark):
+    """Windowed WAV stats: a half-silent, half-tone clip shows ~zero RMS
+    in early windows and sine RMS in late ones; window boundaries and
+    ragged tail length are exact."""
+    import io
+    import wave
+
+    from proxyfeatureextraction_spark.functions.multimodal import audio_window_stats
+
+    rate = 8000
+    n = rate // 2 + 120  # 0.5 s + ragged 120-sample tail
+    x = np.zeros(n)
+    x[rate // 4 :] = np.sin(2 * np.pi * 200 * np.arange(n - rate // 4) / rate)
+    pcm = (x * 32767).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm)
+    media = spark.createDataFrame(
+        [(1, "audio", buf.getvalue(), "audio/wav", None, None, None),
+         (2, "image", b"P6\n1 1\n255\n\x00\x00\x00", "x", 1, 1, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = (
+        audio_window_stats(media, window_ms=100)
+        .toPandas()
+        .sort_values("win_idx")
+        .reset_index(drop=True)
+    )
+    # image row filtered; 4120 samples / 800-per-window → 6 windows
+    assert list(out["media_id"].unique()) == [1]
+    assert len(out) == 6
+    assert list(out["n_samples"]) == [800] * 5 + [120]
+    assert list(out["start_ms"]) == [0, 100, 200, 300, 400, 500]
+    assert out.loc[0, "rms"] < 1e-9 and out.loc[0, "zcr"] == 0.0
+    # windows 3-4 are pure tone: RMS ≈ 1/√2, zcr ≈ 2·f/rate
+    for i in (3, 4):
+        assert abs(out.loc[i, "rms"] - np.sqrt(0.5)) < 0.01
+        assert abs(out.loc[i, "zcr"] - 2 * 200 / rate) < 0.01
+    # window 2 is half silent, half tone: rms ≈ sqrt(0.5 * 0.5)
+    assert abs(out.loc[2, "rms"] - np.sqrt(0.25)) < 0.01
+
+
 def test_resize_plan_geometry(spark, docs):
     from proxyfeatureextraction_spark.functions.multimodal import resize_plan
 
