@@ -575,7 +575,9 @@ def dedup_clusters(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        edges = _sym(large).localCheckpoint()
+        # eager=False: persistence is marked now, materialization rides
+        # the round's ONE action (the checksum) — 1 job per round, not 3
+        edges = _sym(large).localCheckpoint(eager=False)
         # small-star: per node, the smaller neighbors + self re-link to
         # the minimum of that set (directed large→small view)
         down = edges.filter(F.col("v") < F.col("u"))
@@ -586,7 +588,7 @@ def dedup_clusters(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smin.select(F.col("u"), F.col("m").alias("v")))
         )
-        edges = _sym(small).localCheckpoint()
+        edges = _sym(small).localCheckpoint(eager=False)
         cur = _checksum(edges)
         if cur == prev:
             converged = True
