@@ -76,6 +76,48 @@ def salted_stats(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str = S.CONV,
+    salt: int = 16,
+    salt_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join for hot fact keys when the dim side is
+    too large to broadcast (AQE's skew splitting helps sort-merge
+    partitions after the fact; this prevents the hot partition from
+    forming at all, and works for shuffled-hash joins too).
+
+    The fact side salts ``key`` into ``salt`` sub-keys — deterministic:
+    ``salt_col % salt`` when a stable numeric column exists (reruns are
+    bit-reproducible and cluster-size-invariant, same policy as
+    ``salted_stats``), else ``xxhash64(all fact columns) % salt`` —
+    and the dim side replicates each row ``salt``× (array explode), so
+    every (key, salt) bucket co-locates with exactly one copy of its
+    dim row. Row-for-row identical to ``fact.join(dim, key, how)``.
+
+    Cost model: dim bytes × ``salt`` extra shuffle volume buys a
+    ``salt``× reduction of the hottest task — size ``salt`` to the skew
+    ratio, not to the cluster. ``inner``/``left`` only (each fact row
+    carries ONE salt; a right/full join would surface dim replicas).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}: the dim side "
+            f"is replicated, so right/full would emit {salt}× dim rows."
+        )
+    if salt_col is not None:
+        sc = F.pmod(F.col(salt_col).cast("long"), F.lit(salt))
+    else:
+        sc = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt))
+    f = fact.withColumn("_salt", sc)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")
+
+
 def blocked_prefix_sum(
     df: DataFrame,
     value_col: str,
