@@ -50,6 +50,26 @@ def tumbling_turn_stats(
     )
 
 
+def sliding_turn_stats(
+    stream: DataFrame,
+    window: str = "1 minute",
+    slide: str = "30 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window per-conv turn stats: each row lands in
+    window/slide overlapping windows (rate smoothing / burst detection —
+    the hopping-window face of ``tumbling_turn_stats``)."""
+    return (
+        _derived(stream)
+        .withWatermark(S.TS, watermark)
+        .groupBy(S.CONV, F.window(S.TS, window, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(S.N_CHARS).alias("sum_chars"),
+        )
+    )
+
+
 def session_stats(
     stream: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

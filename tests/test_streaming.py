@@ -203,3 +203,36 @@ def test_stream_dedup_drops_cross_batch_copies(spark, tmp_path):
         q.stop()
     got = spark.table("dd_tbl").toPandas()
     assert sorted(got[S.TEXT]) == ["brand new", "other", "same text"]
+
+
+def test_sliding_stream_matches_batch(spark, transcripts_df, tmp_path):
+    """Hopping windows: streaming result equals the same sliding-window
+    aggregation run in batch (each row in window/slide windows)."""
+    from proxyfeatureextraction_spark.streaming.stream_features import (
+        sliding_turn_stats,
+    )
+
+    path = _src(spark, transcripts_df, tmp_path)
+    run_to_memory(
+        sliding_turn_stats(stream_transcripts(spark, path, max_files=4)), "slide"
+    )
+    got = (
+        spark.table("slide")
+        .select(S.CONV, F.col("win.start").alias("ws"), "n_turns", "sum_chars")
+        .toPandas()
+        .sort_values([S.CONV, "ws"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        spark.read.parquet(path)
+        .withColumn(S.N_CHARS, F.coalesce(F.length(S.TEXT), F.lit(0)))
+        .groupBy(S.CONV, F.window(S.TS, "1 minute", "30 seconds").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.sum(S.N_CHARS).alias("sum_chars"))
+        .select(S.CONV, F.col("win.start").alias("ws"), "n_turns", "sum_chars")
+        .toPandas()
+        .sort_values([S.CONV, "ws"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # overlap sanity: sliding emits ~2x the tumbling window count
+    assert len(got) > spark.read.parquet(path).select(S.CONV).distinct().count()
