@@ -531,6 +531,36 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """Classic 3-way join + selective filters + top-k (Q3 shape):
+    segment-filtered customers ⋈ orders ⋈ lineitem, revenue per order,
+    deterministic top-10 (rounded revenue desc, orderkey asc)."""
+    c = _table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """Pure pushdown aggregate (Q6 shape): one scan, three range
+    predicates, one global sum — the filter-pushdown probe."""
+    li = _table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_R6(F.sum(F.col("l_extendedprice") * F.col("l_discount")), "revenue"))
+
+
 def q_join_revenue(spark, sf_dir):
     """J1/J6 multi-table equi-join chain with broadcastable dims:
     revenue per nation (lineitem ⋈ orders ⋈ customer ⋈ nation)."""
@@ -1132,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "union_sources": q_union_sources,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
         "join_revenue": q_join_revenue,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1432,6 +1464,27 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """,
+        "tpch_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
         """,
         "join_revenue": """
         SELECT n_name,
