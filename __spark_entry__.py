@@ -1077,6 +1077,22 @@ def q_dedup_corpus(spark, sf_dir):
     return dedup_corpus(_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Nightly-ingest dedup: odd-id docs are the NEW batch, even-id docs
+    the corpus. New docs die on exact/near matches touching the corpus;
+    all-new clusters keep their min id. method='exact' (full pair
+    recall) so the DuckDB closure mirrors bit-for-bit."""
+    from proxyfeatureextraction_spark.operators.dedup import dedup_incremental
+
+    d = _table(spark, sf_dir, "documents")
+    return dedup_incremental(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.8,
+        method="exact",
+    )
+
+
 def q_rollup_counts(spark, sf_dir):
     """Grouping sets: rollup over (event_type, dir)."""
     e = _events(spark, sf_dir)
@@ -1190,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "dedup_near_survivors": q_dedup_near_survivors,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_incremental": q_dedup_incremental,
         "rollup_counts": q_rollup_counts,
         "pivot_counts": q_pivot_counts,
     }
@@ -1554,6 +1571,56 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d AS doc_id, min(r) AS cluster_rep, min(r) = d AS is_survivor
         FROM reach GROUP BY d
+        """,
+        # rep-level mirror of dedup_incremental: near pairs computed over
+        # distinct-text reps and kept when either GROUP holds a new doc;
+        # exact edges kept when either endpoint is new; closure over all
+        # docs; a new doc survives iff its cluster has no old doc and it
+        # is the cluster's minimum new id
+        "dedup_incremental": f"""
+        WITH RECURSIVE nd AS (
+          SELECT doc_id, {_normalize_sql('text')} AS text FROM documents
+        ),
+        grp AS (
+          SELECT text, min(doc_id) AS doc_id,
+                 max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS has_new
+          FROM nd GROUP BY text
+        ),
+        {_jaccard_ctes('grp')},
+        near AS (
+          SELECT j.doc_a, j.doc_b FROM jpairs j
+          JOIN grp ga ON j.doc_a = ga.doc_id
+          JOIN grp gb ON j.doc_b = gb.doc_id
+          WHERE ga.has_new = 1 OR gb.has_new = 1
+        ),
+        ex AS (
+          SELECT g.doc_id AS doc_a, n.doc_id AS doc_b
+          FROM nd n JOIN grp g ON n.text = g.text
+          WHERE n.doc_id <> g.doc_id
+            AND (n.doc_id % 2 = 1 OR g.doc_id % 2 = 1)
+        ),
+        alle AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM ex),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM alle
+          UNION
+          SELECT doc_b, doc_a FROM alle
+        ),
+        reach(d, r) AS (
+          SELECT doc_id, doc_id FROM nd
+          UNION
+          SELECT reach.d, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        assign AS (SELECT d AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY d),
+        cst AS (
+          SELECT cluster_rep,
+                 max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS has_old,
+                 min(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS min_new
+          FROM assign GROUP BY cluster_rep
+        )
+        SELECT a.doc_id, a.cluster_rep,
+               (c.has_old = 0 AND a.doc_id = c.min_new) AS is_survivor
+        FROM assign a JOIN cst c USING (cluster_rep)
+        WHERE a.doc_id % 2 = 1
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         # LSH candidates (bands=8) + exact list-Jaccard verify — DuckDB

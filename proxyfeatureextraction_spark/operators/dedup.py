@@ -346,12 +346,20 @@ def minhash_lsh_candidates(
     max_bucket: int | None = 5_000,
     collapse_exact: bool = True,
     shingle: int | None = None,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: per-band signature equality join.
 
     ``shingle=n`` switches the token unit from single words to word
     n-gram shingles (shingle→minhash→band→bucket-join — the standard
     order-sensitive near-dup pipeline); default stays word-set.
+
+    ``flag_col`` (boolean) makes the self-join ASYMMETRIC: only pairs
+    where at least one side is flagged survive — the incremental-dedup
+    shape (new batch vs corpus: corpus×corpus pairs are skipped; the
+    corpus is assumed already deduped). With exact-collapse on, a text
+    present on both sides counts as flagged (its new copies are exact
+    dups, owned by the exact edge step).
 
     Fully distributed (no broadcast): scales to arbitrary corpus size;
     band count trades recall vs candidate volume. Deterministic and
@@ -372,7 +380,10 @@ def minhash_lsh_candidates(
     """
     base = df
     if collapse_exact:
-        base = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+        aggs = [F.min(id_col).alias(id_col)]
+        if flag_col is not None:
+            aggs.append(F.max(F.col(flag_col).cast("int")).cast("boolean").alias(flag_col))
+        base = df.groupBy(text_col).agg(*aggs)
     w = _tokens(base, id_col, text_col, shingle).withColumn("_h", portable_word_hash("w"))
     mh = w.groupBy("doc_id").agg(
         *[F.min(_perm(F.col("_h"), i)).alias(f"h{i}") for i in range(n_perm)]
@@ -394,6 +405,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+    if flag_col is not None:
+        bands_df = bands_df.join(
+            base.select(F.col(id_col).alias("doc_id"), flag_col), "doc_id"
+        )
     if max_bucket is not None:
         bands_df = (
             bands_df.withColumn(
@@ -403,13 +418,15 @@ def minhash_lsh_candidates(
             .drop("_bn")
         )
     a, b = bands_df.alias("a"), bands_df.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if flag_col is not None:
+        cond = cond & (F.col(f"a.{flag_col}") | F.col(f"b.{flag_col}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -507,6 +524,122 @@ def dedup_corpus(
                             max_iter=max_iter)
     return assign.withColumn(
         "is_survivor", F.col("cluster_rep") == F.col("doc_id")
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    normalize: bool = True,
+    method: str = "auto",
+    n_perm: int = 16,
+    bands: int = 8,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-deduped corpus — the
+    nightly-ingest pattern. Returns the new docs only:
+    (doc_id, cluster_rep, is_survivor).
+
+    A new doc survives iff its near-dup cluster touches NO corpus doc
+    and it is the minimum id among the cluster's new docs. Work is
+    asymmetric: candidate pairs must involve a new doc (corpus×corpus
+    pairs are skipped — the PRECONDITION is that the corpus has no
+    intra-corpus near-dups at this threshold, i.e. it is the output of
+    ``dedup_corpus``/this function; chains through two corpus docs are
+    then impossible). ``method`` routes like ``dedup_corpus``:
+    ``'exact'`` = full word-set pairs over distinct-text reps, filtered
+    to new-involving; ``'scalable'`` = flag-asymmetric LSH candidates +
+    exact JVM verify; ``'auto'`` = exact until its fail-fast bound
+    fires. At deployment scale, persist the corpus side's band
+    signatures between batches instead of recomputing them."""
+    from proxyfeatureextraction_spark.functions.text import normalize_text
+
+    norm = (
+        normalize_text(text_col)
+        if normalize
+        else F.coalesce(F.col(text_col), F.lit(""))
+    )
+    new = new_df.select(
+        F.col(id_col).alias("doc_id"), norm.alias("_t"), F.lit(True).alias("_new")
+    )
+    old = corpus_df.select(
+        F.col(id_col).alias("doc_id"), norm.alias("_t"), F.lit(False).alias("_new")
+    )
+    union = new.unionByName(old)
+    # exact edges: doc → min-id rep per distinct normalized text, kept
+    # when EITHER endpoint is new (the rep itself can be the new doc —
+    # e.g. a new id smaller than its corpus twin's id)
+    reps = union.groupBy("_t").agg(F.min("doc_id").alias("_rep"))
+    rep_flag = union.select(
+        F.col("doc_id").alias("_rep"), F.col("_new").alias("_rep_new")
+    )
+    exact_edges = (
+        union.join(reps, "_t")
+        .join(rep_flag, "_rep")
+        .filter(
+            (F.col("doc_id") != F.col("_rep")) & (F.col("_new") | F.col("_rep_new"))
+        )
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    rep_docs = union.groupBy("_t").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.max(F.col("_new").cast("int")).cast("boolean").alias("_new"),
+    ).select("doc_id", F.col("_t").alias("text"), "_new")
+    if method not in ("auto", "exact", "scalable"):
+        raise ValueError(method)
+    near = None
+    if method in ("auto", "exact"):
+        try:
+            pairs_all = jaccard_pairs(rep_docs, threshold=threshold)
+            flags = rep_docs.select("doc_id", "_new")
+            near = (
+                pairs_all.join(flags.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+                .withColumnRenamed("_new", "_na")
+                .join(flags.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+                .filter(F.col("_na") | F.col("_new"))
+                .select("doc_a", "doc_b")
+            )
+        except ValueError:
+            if method == "exact":
+                raise
+    if near is None:
+        cands = minhash_lsh_candidates(
+            rep_docs, n_perm=n_perm, bands=bands, flag_col="_new"
+        )
+        a = rep_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+        b = rep_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+        wa = F.filter(F.split("_ta", " "), lambda w: F.length(w) > 0)
+        wb = F.filter(F.split("_tb", " "), lambda w: F.length(w) > 0)
+        inter = F.size(F.array_intersect(F.array_distinct(wa), F.array_distinct(wb)))
+        uni = F.size(F.array_union(wa, wb))
+        near = (
+            cands.join(a, "doc_a").join(b, "doc_b")
+            .filter(
+                F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
+                >= threshold
+            )
+            .select("doc_a", "doc_b")
+        )
+    edges = exact_edges.unionByName(near)
+    assign = dedup_clusters(edges, nodes=union.select("doc_id"), max_iter=max_iter)
+    flagged = assign.join(union.select("doc_id", "_new"), "doc_id")
+    cstats = flagged.groupBy("cluster_rep").agg(
+        F.max((~F.col("_new")).cast("int")).cast("boolean").alias("_has_old"),
+        F.min(F.when(F.col("_new"), F.col("doc_id"))).alias("_min_new"),
+    )
+    return (
+        flagged.filter(F.col("_new"))
+        .join(cstats, "cluster_rep")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            (
+                (~F.col("_has_old")) & (F.col("doc_id") == F.col("_min_new"))
+            ).alias("is_survivor"),
+        )
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from proxyfeatureextraction_spark.operators.dedup import (
     dedup_clusters,
     dedup_corpus,
+    dedup_incremental,
     jaccard_pairs,
     jaccard_pairs_scalable,
     minhash_lsh_candidates,
@@ -242,6 +243,59 @@ def test_dedup_corpus_auto_falls_back_when_guard_fires(spark, monkeypatch):
 
     with _pt.raises(ValueError, match="minhash"):
         dedup_corpus(_corpus(spark), method="exact")
+
+
+BASE10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def test_dedup_incremental_new_batch_vs_corpus(spark):
+    """The nightly-ingest pattern: new docs die on exact or near
+    matches with the corpus (even via different corpus-neighbors — the
+    has_old flag, not id order, decides), new-new near-dups keep one
+    survivor, unique docs pass."""
+    corpus = spark.createDataFrame(
+        [(100, BASE10), (102, "completely different corpus stuff")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, BASE10),                                   # exact dup of corpus
+            (3, BASE10.replace("kappa", "lambda")),        # ~0.82 vs corpus
+            (5, "x1 x2 x3 x4 x5 x6 x7 x8 x9 xa"),
+            (7, "x1 x2 x3 x4 x5 x6 x7 x8 x9 xb"),          # ~0.82 vs 5
+            (9, "entirely novel content right here"),
+            (11, "x1 x2 x3 x4 x5 x6 x7 x8 x9 xa"),         # exact dup of 5
+        ],
+        "doc_id long, text string",
+    )
+    for method in ("exact", "scalable"):
+        out = {
+            r.doc_id: r.is_survivor
+            for r in dedup_incremental(new, corpus, method=method).collect()
+        }
+        assert out == {1: False, 3: False, 5: True, 7: False, 9: True, 11: False}, method
+    # corpus rows are never returned
+    ids = {r.doc_id for r in dedup_incremental(new, corpus).collect()}
+    assert ids == {1, 3, 5, 7, 9, 11}
+
+
+def test_dedup_incremental_drops_via_any_corpus_neighbor(spark):
+    """Two new docs near-dup the SAME corpus doc but not each other:
+    both drop (cluster touches corpus), regardless of ids being smaller
+    than the corpus id (rep is a new id here — the flag decides)."""
+    corpus = spark.createDataFrame([(100, BASE10)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, BASE10.replace("alpha", "aleph")),
+            (2, BASE10.replace("kappa", "lambda")),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.cluster_rep, r.is_survivor)
+        for r in dedup_incremental(new, corpus).collect()
+    }
+    assert out[1] == (1, False) and out[2] == (1, False)
 
 
 def test_dedup_clusters_chain_collapses_to_one_rep(spark):
