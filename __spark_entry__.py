@@ -660,6 +660,15 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_buckets(_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """Hamming-tolerant simhash pairs (block-permutation candidates →
+    exact bit_count verify): full bit-level recall within hamming ≤ 2,
+    fully distributed. Oracle: _simhash_candidates_oracle()."""
+    from proxyfeatureextraction_spark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(_table(spark, sf_dir, "documents"), max_hamming=2)
+
+
 def _word_hash_sql(word_expr: str) -> str:
     """DuckDB twin of operators.dedup.portable_word_hash (char fold)."""
     from proxyfeatureextraction_spark.operators.dedup import HASH_BASE, HASH_MOD
@@ -729,8 +738,8 @@ def _minhash_oracle(
         """
 
 
-def _simhash_oracle(bits: int = 16) -> str:
-    """DuckDB twin of operators.dedup.simhash_buckets (defaults)."""
+def _simhash_sim_cte(bits: int = 16) -> str:
+    """The w/wh/bits/sim CTE chain producing (doc_id, simhash)."""
     from proxyfeatureextraction_spark.operators.dedup import HASH_MOD, perm_params
 
     a97, b97 = perm_params(97)
@@ -741,15 +750,43 @@ def _simhash_oracle(bits: int = 16) -> str:
     sim_expr = " + ".join(
         f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
     )
-    return f"""
-        WITH w AS (SELECT doc_id, w FROM documents,
+    return f"""w AS (SELECT doc_id, w FROM documents,
                           UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
                    WHERE length(w) > 0),
         wh AS (SELECT doc_id, (({_word_hash_sql('w')}) * {a97} + {b97}) % {HASH_MOD} AS g FROM w),
         bits AS (SELECT doc_id, {s_cols} FROM wh GROUP BY doc_id),
-        sim AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)
+        sim AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits)"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    """DuckDB twin of operators.dedup.simhash_buckets (defaults)."""
+    return f"""
+        WITH {_simhash_sim_cte(bits)}
         SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
         FROM sim GROUP BY simhash
+        """
+
+
+def _simhash_candidates_oracle(
+    bits: int = 16, max_hamming: int = 2, max_bucket: int = 5000
+) -> str:
+    """DuckDB twin of operators.dedup.simhash_candidates (defaults)."""
+    from proxyfeatureextraction_spark.operators.dedup import simhash_block_bounds
+
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, (simhash >> {off}) & {(1 << width) - 1} AS val FROM sim"
+        for i, (off, width) in enumerate(simhash_block_bounds(bits, max_hamming))
+    )
+    return f"""
+        WITH {_simhash_sim_cte(bits)},
+        bands AS ({band_rows}),
+        capped AS (SELECT *, count(*) OVER (PARTITION BY blk, val) AS _bn FROM bands)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM capped a JOIN capped b
+          ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+        WHERE a._bn <= {max_bucket} AND b._bn <= {max_bucket}
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
         """
 
 
@@ -1187,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -1674,6 +1712,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END >= 0.8
         """,
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_hamming": _simhash_candidates_oracle(),
         "similarity_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),

@@ -432,16 +432,9 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash_buckets(
-    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """SimHash bucket table: (simhash, n_docs, keep_id).
-
-    Word hashes come from an extra permutation of the portable
-    polynomial hash (index ``n_perm``-independent constant 97), so the
-    whole pipeline — bit extraction, ±1 sums, sign recombination — has
-    a bit-identical DuckDB twin.
-    """
+def _simhash_col(df: DataFrame, bits: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash): sign-of-sum over ±1 word-hash bits — the
+    shared core of ``simhash_buckets`` and ``simhash_candidates``."""
     w = _words(df, id_col, text_col).withColumn("_g", _perm(portable_word_hash("w"), 97))
     bit_cols = [
         F.when(F.shiftright(F.col("_g"), i).bitwiseAND(F.lit(1)) == 1, 1)
@@ -452,14 +445,107 @@ def simhash_buckets(
     sums = w.select("doc_id", *bit_cols).groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
     )
-    sim = sums.select(
+    return sums.select(
         "doc_id",
         sum(
             [F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)]
         ).alias("simhash"),
     )
+
+
+def simhash_buckets(
+    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash bucket table: (simhash, n_docs, keep_id).
+
+    Word hashes come from an extra permutation of the portable
+    polynomial hash (index ``n_perm``-independent constant 97), so the
+    whole pipeline — bit extraction, ±1 sums, sign recombination — has
+    a bit-identical DuckDB twin. Exact-equality buckets only; for
+    hamming-tolerant pairs use ``simhash_candidates``.
+    """
+    sim = _simhash_col(df, bits, id_col, text_col)
     return sim.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+
+
+def simhash_block_bounds(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` pigeonhole blocks."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    bounds, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
+def simhash_candidates(
+    df: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = 5_000,
+) -> DataFrame:
+    """Hamming-tolerant simhash near-dup pairs:
+    (doc_a, doc_b, hamming ≤ ``max_hamming``).
+
+    The block-permutation trick (Manku et al., WWW'07 shape): split the
+    ``bits``-bit simhash into ``max_hamming + 1`` contiguous blocks —
+    by pigeonhole, any pair within ``max_hamming`` differing bits
+    agrees EXACTLY on at least one block — equi-join per block for
+    candidates, then verify the true hamming distance with one
+    ``bit_count(a XOR b)``. FULL recall at the bit level, exact
+    precision, fully distributed; ``max_bucket`` is the usual hot-block
+    cap (a block value shared by a huge fraction of the corpus carries
+    no locality)."""
+    sim = _simhash_col(df, bits, id_col, text_col)
+    blocks = simhash_block_bounds(bits, max_hamming)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i, (off, width) in enumerate(blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.blk", "bv.val")
+    if max_bucket is not None:
+        bands = (
+            bands.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("blk", "val"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
