@@ -690,6 +690,56 @@ def _shingle_list_sql(toks_expr: str, n: int) -> str:
                     ELSE [] END"""
 
 
+def _id_hash_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of operators.curation._id_hash (seed-keyed affine
+    map from perm_params; id reduced mod M before the multiply —
+    ANSI overflow-safe on both engines)."""
+    from proxyfeatureextraction_spark.operators.dedup import HASH_MOD, perm_params
+
+    a, b = perm_params(seed)
+    return f"((({expr}) % {HASH_MOD}) * {a} + {b}) % {HASH_MOD}"
+
+
+def _hash_split_oracle() -> str:
+    """DuckDB twin of curation.hash_split({train:.9, val:.05, test:.05},
+    seed=7): thresholds come from the SAME split_bounds() float→int
+    arithmetic the Spark side uses."""
+    from proxyfeatureextraction_spark.operators.curation import split_bounds
+
+    bounds = split_bounds({"train": 0.9, "val": 0.05, "test": 0.05})
+    whens = " ".join(f"WHEN hh < {b} THEN '{name}'" for name, b in bounds)
+    return f"""
+        WITH h AS (SELECT doc_id, {_id_hash_sql('doc_id', seed=7)} AS hh FROM documents)
+        SELECT doc_id, CASE {whens} ELSE 'test' END AS split FROM h
+        """
+
+
+def _pii_scrub_oracle() -> str:
+    """DuckDB twin of functions.text.scrub_pii over id-injected PII
+    (regex subset chosen to behave identically in Java regex and RE2;
+    counts on RAW text, masks applied email → ip → phone)."""
+    from proxyfeatureextraction_spark.functions.text import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@example.com from 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                        '.7 call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                        '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ips,
+               len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{EMAIL_RE}', '<email>', 'g'),
+                   '{IPV4_RE}', '<ip>', 'g'),
+                   '{PHONE_RE}', '<phone>', 'g') AS scrubbed
+        FROM base
+        """
+
+
 def _minhash_oracle(
     n_perm: int = 16, bands: int = 4, max_bucket: int = 5000, shingle: int | None = None
 ) -> str:
@@ -1130,6 +1180,81 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: affine id-hash thresholds —
+    no RNG, stable under re-runs/reordering/partition changes (unlike
+    randomSplit). Narrow projection; fuses into the scan."""
+    from proxyfeatureextraction_spark.operators.curation import hash_split
+
+    d = _table(spark, sf_dir, "documents")
+    return hash_split(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=7
+    ).select("doc_id", "split")
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic per-group uniform sample: rank by affine id hash
+    within each lang, keep 5 — a seeded shuffle-order without RNG."""
+    from proxyfeatureextraction_spark.operators.curation import sample_per_group
+
+    d = _table(spark, sf_dir, "documents")
+    return sample_per_group(d, "lang", 5, seed=3).select("lang", "doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing any word 8-gram
+    with the eval split (doc_id % 20 == 0) are flagged. Eval shingle
+    set is broadcast — one corpus scan, zero full-data shuffles."""
+    from proxyfeatureextraction_spark.operators.curation import decontaminate
+
+    d = _table(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        n=8,
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub: emails/IPv4s/phones → mask tokens + per-pattern raw
+    counts. Synthetic PII is injected per-row (id-derived) so the
+    regexes are genuinely exercised on every document."""
+    from proxyfeatureextraction_spark.functions.text import scrub_pii
+
+    d = _table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    cols = scrub_pii("text")
+    return d.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ips"].alias("n_ips"),
+        cols["n_phones"].alias("n_phones"),
+        cols["scrubbed"].alias("scrubbed"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 512-token context bins, 8 parallel
+    shard streams (first-fit-sequential by doc_id within shard). The
+    DuckDB oracle replays the identical walk with a recursive CTE."""
+    from proxyfeatureextraction_spark.operators.curation import pack_sequences
+
+    d = _table(spark, sf_dir, "documents")
+    return pack_sequences(d, max_tokens=512, n_shards=8, seed=1)
+
+
 def q_rollup_counts(spark, sf_dir):
     """Grouping sets: rollup over (event_type, dir)."""
     e = _events(spark, sf_dir)
@@ -1247,6 +1372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "rollup_counts": q_rollup_counts,
         "pivot_counts": q_pivot_counts,
+        "hash_split": q_hash_split,
+        "sample_per_group": q_sample_per_group,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2032,5 +2162,52 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                count(*) FILTER (WHERE event_type = 'view') AS n_view
         FROM ev GROUP BY user_id
+        """,
+        "hash_split": _hash_split_oracle(),
+        "sample_per_group": f"""
+        WITH h AS (SELECT lang, doc_id, {_id_hash_sql('doc_id', seed=3)} AS hh
+                   FROM documents),
+        r AS (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+              FROM h)
+        SELECT lang, doc_id FROM r WHERE rk <= 5
+        """,
+        "decontaminate": f"""
+        WITH tr AS (SELECT doc_id,
+                           list_filter(string_split(coalesce(text, ''), ' '),
+                                       x -> length(x) > 0) AS toks
+                    FROM documents WHERE doc_id % 20 <> 0),
+        ev AS (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> length(x) > 0) AS toks
+               FROM documents WHERE doc_id % 20 = 0),
+        evs AS (SELECT DISTINCT w FROM ev,
+                       UNNEST(list_distinct({_shingle_list_sql('toks', 8)})) AS t(w)),
+        trs AS (SELECT doc_id, w FROM tr,
+                       UNNEST(list_distinct({_shingle_list_sql('toks', 8)})) AS t(w)),
+        hits AS (SELECT doc_id, count(*) AS n_hits
+                 FROM trs JOIN evs USING (w) GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        """,
+        "pii_scrub": _pii_scrub_oracle(),
+        "pack_sequences": f"""
+        WITH RECURSIVE base AS (
+          SELECT CAST(({_id_hash_sql('doc_id', seed=1)}) % 8 AS INTEGER) AS shard,
+                 doc_id,
+                 CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                      x -> length(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        ordered AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+                    FROM base),
+        walk AS (
+          SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS bin_fill
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+                 CASE WHEN w.bin_fill + o.n_tok <= 512 THEN w.bin_id ELSE w.bin_id + 1 END,
+                 CASE WHEN w.bin_fill + o.n_tok <= 512 THEN w.bin_fill + o.n_tok ELSE o.n_tok END
+          FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1)
+        SELECT shard, doc_id, n_tok, bin_id, bin_fill FROM walk
         """,
     }

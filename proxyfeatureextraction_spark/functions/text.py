@@ -132,6 +132,33 @@ def normalize_text(
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+#: PII patterns, deliberately restricted to syntax shared by Java regex
+#: (Spark) and RE2 (DuckDB) so the scrub has a bit-identical oracle
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(text_col: str = "text") -> dict[str, Column]:
+    """PII scrub for training text: emails / IPv4s / phone numbers →
+    typed mask tokens, plus per-pattern match counts.
+
+    Counts are measured independently on the RAW text (so ``n_ips``
+    reports IPs even when an earlier mask would have consumed them);
+    the scrubbed text applies masks in order email → ip → phone.
+    Pure JVM regexp pipeline — fuses into the scan, no shuffle.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    c = F.regexp_replace(raw, EMAIL_RE, "<email>")
+    c = F.regexp_replace(c, IPV4_RE, "<ip>")
+    c = F.regexp_replace(c, PHONE_RE, "<phone>")
+    return {
+        "n_emails": F.regexp_count(raw, F.lit(EMAIL_RE)),
+        "n_ips": F.regexp_count(raw, F.lit(IPV4_RE)),
+        "n_phones": F.regexp_count(raw, F.lit(PHONE_RE)),
+        "scrubbed": c,
+    }
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = (
         df.withColumn("n_tokens", token_count(text_col))

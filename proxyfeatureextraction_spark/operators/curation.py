@@ -1,0 +1,256 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond dedup/similarity (operators/dedup.py, operators/similarity.py),
+a production pipeline needs the selection layer: deterministic
+train/val/test splits, per-group sampling, eval-set decontamination,
+and sequence packing. All deterministic (portable polynomial / affine
+hashes — no engine RNG), so every operator has a bit-identical DuckDB
+oracle in ``__spark_entry__``.
+
+Scale notes per operator are in the docstrings; none of these collect
+to the driver and the only broadcast is the (small) eval shingle set in
+``decontaminate``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from proxyfeatureextraction_spark.operators.dedup import (
+    HASH_MOD,
+    _shingle_col,
+    perm_params,
+)
+
+
+def _id_hash(id_col, seed: int = 0) -> Column:
+    """Affine integer hash of a numeric id, mod 1e9+7 — the portable
+    (DuckDB-twin) stand-in for xxhash64 in split/sample decisions.
+    Non-negative for non-negative ids. The seed enters the MULTIPLIER
+    (``perm_params``), not just the offset — an offset-only seed would
+    rotate the hash ring, leaving per-group orderings (and hence
+    samples) almost identical across seeds. M is prime, so every
+    nonzero multiplier is a bijection. The id is reduced mod M BEFORE
+    the multiply so the product stays under 2^63 for any int64 id
+    (ANSI overflow-safe)."""
+    a, b = perm_params(seed)
+    return (
+        (F.col(id_col).cast("long") % F.lit(HASH_MOD)) * F.lit(a) + F.lit(b)
+    ) % F.lit(HASH_MOD)
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(label, upper_bound) thresholds on the id hash for every label
+    but the last (which takes the remainder). Shared by ``split_assign``
+    and its SQL oracle so both sides use bit-identical float → int
+    threshold arithmetic."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    labels = list(weights)
+    cum, out = 0.0, []
+    for name in labels[:-1]:
+        cum += weights[name] / total
+        out.append((name, int(cum * HASH_MOD)))
+    return out
+
+
+def split_assign(
+    weights: dict[str, float], id_col: str = "doc_id", seed: int = 0
+) -> Column:
+    """Deterministic split label from an id hash (no RNG, stable under
+    re-runs / reordering / partition changes — unlike
+    ``df.randomSplit``, which is seed-AND-partitioning dependent).
+
+    Buckets are integer thresholds ``floor(cum_weight * M)`` on the
+    affine id hash, so the exact same arithmetic runs in SQL. Weights
+    need not sum to 1; they are normalized. Dict order fixes label
+    precedence (insertion order, as in Python 3.7+).
+    """
+    h = _id_hash(id_col, seed)
+    expr = None
+    for name, bound in split_bounds(weights):
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(weights)[-1]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic train/val/test ``split`` column.
+
+    Pure narrow projection — no shuffle, no RNG; at 100 TB this fuses
+    into whatever scan feeds it. Exactly reproducible across engines,
+    cluster sizes and re-runs, which is the property training splits
+    actually need (a doc must never migrate between train and eval
+    between pipeline runs).
+    """
+    return df.withColumn(split_col, split_assign(weights, id_col=id_col, seed=seed))
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic uniform sample of ``n`` rows per group.
+
+    Rows are ranked inside each group by the affine id hash (id
+    tiebreak) and the first ``n`` kept — i.e. a seeded shuffle-order
+    without RNG. One hash-partition exchange on ``group_col``; heavy
+    groups cost O(group log group) in the sort, no driver involvement.
+    Changing ``seed`` draws an (almost) independent sample.
+    """
+    w = Window.partitionBy(group_col).orderBy(_id_hash(id_col, seed), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Mark training docs that share any word ``n``-gram with an eval
+    set — the standard benchmark-decontamination pass (the n-gram
+    overlap rule used by GPT-3/PaLM-style dataset reports).
+
+    Returns ``(doc_id, n_hits, contaminated)`` for EVERY train doc:
+    ``n_hits`` = number of the doc's distinct n-gram shingles that
+    appear anywhere in the eval set; drop rows where ``contaminated``
+    to clean the corpus.
+
+    Scale shape: the eval side collapses to its DISTINCT shingle set —
+    benchmarks are tiny next to a 100 TB corpus, so that set broadcasts
+    (``broadcast_eval=True``) and the whole pass is a map-side
+    broadcast join over one corpus scan: zero full-data shuffles. For
+    an unusually large eval suite, pass ``broadcast_eval=False`` to
+    fall back to a plain shuffle equi-join on the shingle — still fully
+    distributed. Shingles shorter than ``n`` words fall back to the
+    whole text (same convention as the dedup routes), so short eval
+    items still match verbatim copies.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(F.array_distinct(_shingle_col(text_col, n))).alias("w")
+        ).distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_shingle_col(text_col, n))).alias("w"),
+    )
+    hits = tr.join(ev, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("bin_fill", T.LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    tok_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed-capacity context
+    bins — the batching step before LLM training.
+
+    Docs are sharded by id hash (``n_shards`` independent packing
+    streams — packing is embarrassingly parallel across shards, and at
+    deploy scale you raise ``n_shards`` so each shard's doc list fits
+    one task), ordered by ``doc_id`` within the shard, then packed
+    first-fit-sequential: a doc joins the current bin iff
+    ``fill + n_tok <= max_tokens``, else it opens a new bin (a doc
+    longer than ``max_tokens`` gets a bin alone — the caller truncates
+    or splits upstream). The per-shard greedy walk is a data-dependent
+    recurrence (bin breaks depend on the running fill), so it runs as
+    an Arrow grouped-map with a plain loop over the shard's rows — the
+    honest shape; there is no window-function equivalent. Output:
+    ``(shard, doc_id, n_tok, bin_id, bin_fill)`` with ``bin_id``
+    numbered per shard and ``bin_fill`` the running fill AFTER placing
+    the doc.
+
+    Deterministic end-to-end (hash shard + id order), so the DuckDB
+    oracle replays the identical walk with a recursive CTE.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    tok = (
+        F.col(tok_col).cast("long")
+        if tok_col is not None
+        else F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("long")
+    )
+    base = df.select(
+        (_id_hash(id_col, seed) % F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        tok.alias("n_tok"),
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        del key
+        pdf = pdf.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        first = True
+        for t in pdf["n_tok"].to_numpy():
+            t = int(t)
+            if first:
+                fill = t
+                first = False
+            elif fill + t <= max_tokens:
+                fill += t
+            else:
+                bin_id += 1
+                fill = t
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf[["shard", "doc_id", "n_tok", "bin_id", "bin_fill"]]
+
+    return base.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)

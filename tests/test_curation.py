@@ -1,0 +1,226 @@
+"""Curation-layer tests: deterministic splits/sampling, eval-set
+decontamination, PII scrubbing, greedy sequence packing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from proxyfeatureextraction_spark.operators.curation import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+    sample_per_group,
+    split_bounds,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc {i} " + " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)),
+         ["en", "es", "fr"][i % 3])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df = df.cache()
+    df.count()
+    return df
+
+
+# ---------------------------------------------------------------- hash_split
+
+
+def test_hash_split_total_and_stable(spark, docs):
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    pdf = out.select("doc_id", "split").toPandas()
+    assert len(pdf) == 300 and pdf["split"].notna().all()
+    # stable under physical reordering / repartitioning
+    pdf2 = (
+        hash_split(
+            docs.repartition(7).orderBy(F.desc("doc_id")),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=5,
+        )
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    merged = pdf.merge(pdf2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+
+
+def test_hash_split_proportions(spark):
+    big = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(big, {"train": 0.9, "val": 0.05, "test": 0.05}).groupBy(
+        "split"
+    ).count().toPandas().set_index("split")["count"]
+    assert abs(out["train"] / 20_000 - 0.9) < 0.02
+    assert abs(out["val"] / 20_000 - 0.05) < 0.01
+    assert abs(out["test"] / 20_000 - 0.05) < 0.01
+
+
+def test_split_bounds_reject_bad_weights():
+    with pytest.raises(ValueError):
+        split_bounds({"a": 0.0})
+
+
+# ---------------------------------------------------------- sample_per_group
+
+
+def test_sample_per_group_caps_and_determinism(docs):
+    out = sample_per_group(docs, "lang", 10, seed=1)
+    pdf = out.groupBy("lang").count().toPandas()
+    assert (pdf["count"] == 10).all()
+    ids_a = set(out.toPandas()["doc_id"])
+    ids_b = set(sample_per_group(docs.repartition(5), "lang", 10, seed=1).toPandas()["doc_id"])
+    assert ids_a == ids_b
+    ids_c = set(sample_per_group(docs, "lang", 10, seed=2).toPandas()["doc_id"])
+    assert ids_a != ids_c  # different seed, (almost surely) different draw
+
+
+def test_sample_per_group_small_group_kept_whole(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, lang string"
+    )
+    out = sample_per_group(df, "lang", 5).toPandas()
+    assert len(out) == 3
+
+
+# -------------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the eval 8-gram "alpha beta ... theta" verbatim
+            (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (2, "totally unrelated words nothing shared here at all ok"),
+            # shares words but no 8-gram run
+            (3, "alpha beta gamma unrelated delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        decontaminate(train, eval_df, n=8)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] >= 1
+    assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "n_hits"] == 0
+    assert not bool(out.loc[3, "contaminated"])
+    assert len(out) == 3  # every train doc reported
+
+
+def test_decontaminate_short_eval_doc_matches_verbatim(spark):
+    # eval doc shorter than n words falls back to a whole-text shingle,
+    # so verbatim copies still match; supersets do not
+    eval_df = spark.createDataFrame([(9, "short eval item")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "short eval item"), (2, "short eval item plus more")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, eval_df, n=8).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark, docs):
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    a = decontaminate(tr, ev, n=3, broadcast_eval=True).toPandas()
+    b = decontaminate(tr, ev, n=3, broadcast_eval=False).toPandas()
+    key = ["doc_id", "n_hits", "contaminated"]
+    assert (
+        a[key].sort_values("doc_id").reset_index(drop=True).equals(
+            b[key].sort_values("doc_id").reset_index(drop=True)
+        )
+    )
+
+
+# --------------------------------------------------------------- scrub_pii
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from proxyfeatureextraction_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.1.254 then call 555-123-4567 or 800 555 1212"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    cols = scrub_pii("text")
+    out = (
+        df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_emails"] == 1 and "<email>" in out.loc[1, "scrubbed"]
+    assert "bob" not in out.loc[1, "scrubbed"]
+    assert out.loc[2, "n_ips"] == 1 and out.loc[2, "n_phones"] == 2
+    assert "<ip>" in out.loc[2, "scrubbed"] and out.loc[2, "scrubbed"].count("<phone>") == 2
+    assert out.loc[3, "scrubbed"] == "" and out.loc[3, "n_emails"] == 0
+
+
+# ----------------------------------------------------------- pack_sequences
+
+
+def _greedy_reference(tokens: list[int], cap: int) -> list[int]:
+    bins, bin_id, fill, first = [], 0, 0, True
+    for t in tokens:
+        if first:
+            fill, first = t, False
+        elif fill + t <= cap:
+            fill += t
+        else:
+            bin_id, fill = bin_id + 1, t
+        bins.append(bin_id)
+    return bins
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": range(200), "n_tok": [(i * 37) % 190 + 1 for i in range(200)]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        pack_sequences(df, max_tokens=256, n_shards=4, tok_col="n_tok", seed=2)
+        .toPandas()
+        .sort_values(["shard", "doc_id"])
+    )
+    assert len(out) == 200
+    for _, grp in out.groupby("shard"):
+        toks = grp.sort_values("doc_id")["n_tok"].tolist()
+        assert grp.sort_values("doc_id")["bin_id"].tolist() == _greedy_reference(
+            toks, 256
+        )
+    # capacity respected except oversized singletons
+    over = out[out["bin_fill"] > 256]
+    for _, row in over.iterrows():
+        same_bin = out[(out["shard"] == row["shard"]) & (out["bin_id"] == row["bin_id"])]
+        assert len(same_bin) == 1 and row["n_tok"] > 256
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 999), (3, 100)], "doc_id long, n_tok long"
+    )
+    out = (
+        pack_sequences(df, max_tokens=256, n_shards=1, tok_col="n_tok")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[2, "bin_id"] not in (out.loc[1, "bin_id"], out.loc[3, "bin_id"])
+
+
+def test_pack_sequences_rejects_nonpositive_capacity(spark, docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, max_tokens=0)
