@@ -700,6 +700,37 @@ def _id_hash_sql(expr: str, seed: int = 0) -> str:
     return f"((({expr}) % {HASH_MOD}) * {a} + {b}) % {HASH_MOD}"
 
 
+def _band_cte_sql(src: str, p: str, n_perm: int, bands: int) -> str:
+    """CTE chain ``{p}w → {p}wh → {p}mh → {p}bands`` computing minhash
+    LSH band signatures over the (doc_id, text) CTE ``src`` — the
+    DuckDB twin of operators.dedup.band_signatures, parameterized by
+    source so asymmetric (train×eval) joins can build both sides."""
+    from proxyfeatureextraction_spark.operators.dedup import (
+        HASH_BASE,
+        HASH_MOD,
+        perm_params,
+    )
+
+    mins = ",\n               ".join(
+        f"min((h * {a} + {b}) % {HASH_MOD}) AS h{i}"
+        for i, (a, b) in ((j, perm_params(j)) for j in range(n_perm))
+    )
+    rpb = n_perm // bands
+    band_selects = []
+    for bi in range(bands):
+        sig = "CAST(0 AS BIGINT)"
+        for r in range(rpb):
+            sig = f"(({sig}) * {HASH_BASE} + h{bi * rpb + r}) % {HASH_MOD}"
+        band_selects.append(f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM {p}mh")
+    bands_sql = "\n        UNION ALL ".join(band_selects)
+    return f"""{p}w AS (SELECT doc_id, w FROM {src},
+                     UNNEST(list_distinct(string_split(text, ' '))) AS t(w)
+              WHERE length(w) > 0),
+        {p}wh AS (SELECT doc_id, {_word_hash_sql('w')} AS h FROM {p}w),
+        {p}mh AS (SELECT doc_id, {mins} FROM {p}wh GROUP BY doc_id),
+        {p}bands AS ({bands_sql})"""
+
+
 def _hash_split_oracle() -> str:
     """DuckDB twin of curation.hash_split({train:.9, val:.05, test:.05},
     seed=7): thresholds come from the SAME split_bounds() float→int
@@ -1215,6 +1246,23 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (near-dup) decontamination: train docs with word-set
+    Jaccard ≥ 0.8 to any eval doc (doc_id % 20 == 0) are flagged —
+    asymmetric band join (train bands × broadcast eval bands; never
+    train×train) + exact JVM verify."""
+    from proxyfeatureextraction_spark.operators.curation import decontaminate_fuzzy
+
+    d = _table(spark, sf_dir, "documents")
+    return decontaminate_fuzzy(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        threshold=0.8,
+        n_perm=16,
+        bands=8,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub: emails/IPv4s/phones → mask tokens + per-pattern raw
     counts. Synthetic PII is injected per-row (id-derived) so the
@@ -1375,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
         "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
     }
@@ -2188,6 +2237,36 @@ def oracle_sql() -> dict[str, str]:
                  FROM trs JOIN evs USING (w) GROUP BY doc_id)
         SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
                coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        """,
+        "decontaminate_fuzzy": f"""
+        WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        {_band_cte_sql('tr', 't', 16, 8)},
+        {_band_cte_sql('ev', 'e', 16, 8)},
+        cand AS (SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS ev_id
+                 FROM tbands t JOIN ebands e ON t.band = e.band AND t.sig = e.sig),
+        tsets AS (SELECT doc_id,
+                         list_filter(list_distinct(string_split(coalesce(text, ''), ' ')),
+                                     w -> length(w) > 0) AS ws
+                  FROM tr),
+        esets AS (SELECT doc_id AS ev_id,
+                         list_filter(list_distinct(string_split(coalesce(text, ''), ' ')),
+                                     w -> length(w) > 0) AS ws
+                  FROM ev),
+        v AS (SELECT c.doc_id,
+                     len(list_intersect(a.ws, b.ws)) AS ninter,
+                     len(list_distinct(list_concat(a.ws, b.ws))) AS nunion
+              FROM cand c JOIN tsets a USING (doc_id) JOIN esets b USING (ev_id)),
+        hits AS (SELECT doc_id, count(*) AS n_matches,
+                        round(max(CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion
+                                       ELSE 0.0 END), 6) AS max_jaccard
+                 FROM v
+                 WHERE CASE WHEN nunion > 0 THEN ninter * 1.0 / nunion ELSE 0.0 END >= 0.8
+                 GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(h.n_matches, 0) AS n_matches,
+               coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+               coalesce(h.n_matches, 0) > 0 AS contaminated
         FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
         """,
         "pii_scrub": _pii_scrub_oracle(),

@@ -172,6 +172,88 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.8,
+    n_perm: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int | None = None,
+    broadcast_eval: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag train docs whose word-set
+    (or ``shingle``-gram-set) Jaccard to ANY eval doc is ≥ threshold —
+    the fuzzy companion to ``decontaminate``'s exact n-gram rule
+    (the MinHash-based decontamination used by Llama-style dataset
+    reports, where paraphrased benchmark items must die too).
+
+    Returns ``(doc_id, n_matches, max_jaccard, contaminated)`` for
+    every train doc. Candidates come from an ASYMMETRIC band join —
+    train band signatures against eval band signatures (never
+    train×train) — so work is O(train + eval + collisions), and the
+    eval side (bands AND token sets) is broadcast when
+    ``broadcast_eval`` (benchmarks are tiny next to a 100 TB corpus):
+    the only full-data cost is one minhash aggregation over train.
+    Each candidate is then verified EXACTLY with JVM
+    ``array_intersect``/``array_union`` — precision exact, recall =
+    the LSH knob (1−(1−s^r)^b). Run ``exact_dedup`` upstream as usual;
+    exact train×eval copies still match here (identical signatures in
+    every band).
+    """
+    from proxyfeatureextraction_spark.operators.dedup import band_signatures
+
+    tb = band_signatures(
+        train, n_perm=n_perm, bands=bands, id_col=id_col, text_col=text_col,
+        shingle=shingle,
+    )
+    eb = band_signatures(
+        eval_df, n_perm=n_perm, bands=bands, id_col=id_col, text_col=text_col,
+        shingle=shingle,
+    ).withColumnRenamed("doc_id", "ev_id")
+    if broadcast_eval:
+        eb = F.broadcast(eb)
+    cands = tb.join(eb, ["band", "sig"]).select("doc_id", "ev_id").distinct()
+
+    if shingle is None:
+        set_col = F.filter(
+            F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
+            lambda w: F.length(w) > 0,
+        )
+    else:
+        set_col = F.array_distinct(_shingle_col(text_col, shingle))
+    tsets = train.select(F.col(id_col).alias("doc_id"), set_col.alias("_wa"))
+    esets = eval_df.select(F.col(id_col).alias("ev_id"), set_col.alias("_wb"))
+    if broadcast_eval:
+        esets = F.broadcast(esets)
+    inter = F.size(F.array_intersect("_wa", "_wb"))
+    union = F.size(F.array_union("_wa", "_wb"))
+    jac_raw = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    hits = (
+        cands.join(tsets, "doc_id")
+        .join(esets, "ev_id")
+        .withColumn("_j", jac_raw)
+        .filter(F.col("_j") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("_j"), round_digits).alias("max_jaccard"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 PACK_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType()),

@@ -337,6 +337,41 @@ def jaccard_pairs_scalable(
     )
 
 
+def band_signatures(
+    df: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int | None = None,
+) -> DataFrame:
+    """(doc_id, band, sig): minhash LSH band signatures — the shared
+    core of ``minhash_lsh_candidates`` (self-join dedup) and
+    ``curation.decontaminate_fuzzy`` (asymmetric train×eval join).
+    Portable polynomial hashing throughout (DuckDB bit-identical)."""
+    w = _tokens(df, id_col, text_col, shingle).withColumn("_h", portable_word_hash("w"))
+    mh = w.groupBy("doc_id").agg(
+        *[F.min(_perm(F.col("_h"), i)).alias(f"h{i}") for i in range(n_perm)]
+    )
+    rows_per_band = n_perm // bands
+    return mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        _fold_sig(
+                            [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     n_perm: int = 16,
@@ -384,27 +419,10 @@ def minhash_lsh_candidates(
         if flag_col is not None:
             aggs.append(F.max(F.col(flag_col).cast("int")).cast("boolean").alias(flag_col))
         base = df.groupBy(text_col).agg(*aggs)
-    w = _tokens(base, id_col, text_col, shingle).withColumn("_h", portable_word_hash("w"))
-    mh = w.groupBy("doc_id").agg(
-        *[F.min(_perm(F.col("_h"), i)).alias(f"h{i}") for i in range(n_perm)]
+    bands_df = band_signatures(
+        base, n_perm=n_perm, bands=bands, id_col=id_col, text_col=text_col,
+        shingle=shingle,
     )
-    rows_per_band = n_perm // bands
-    bands_df = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        _fold_sig(
-                            [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("sig"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
     if flag_col is not None:
         bands_df = bands_df.join(
             base.select(F.col(id_col).alias("doc_id"), flag_col), "doc_id"

@@ -143,6 +143,69 @@ def test_decontaminate_shuffle_fallback_matches_broadcast(spark, docs):
     )
 
 
+def test_decontaminate_fuzzy_flags_near_dups(spark):
+    from proxyfeatureextraction_spark.operators.curation import decontaminate_fuzzy
+
+    eval_df = spark.createDataFrame(
+        [(50, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # word-set jaccard 9/9 = 1.0 (exact copy)
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # one word swapped: |inter|=8, |union|=10 → 0.8 — at threshold
+            (2, "the quick brown fox jumps over the lazy cat today"),
+            (3, "completely different content with no shared vocabulary whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        decontaminate_fuzzy(train, eval_df, threshold=0.8, n_perm=16, bands=16)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "max_jaccard"] == 1.0
+    assert bool(out.loc[2, "contaminated"]) and abs(out.loc[2, "max_jaccard"] - 0.8) < 1e-9
+    assert not bool(out.loc[3, "contaminated"]) and out.loc[3, "n_matches"] == 0
+    assert len(out) == 3
+
+
+def test_decontaminate_fuzzy_never_pairs_train_with_train(spark):
+    from proxyfeatureextraction_spark.operators.curation import decontaminate_fuzzy
+
+    # two identical train docs, eval unrelated: no contamination
+    train = spark.createDataFrame(
+        [(1, "same text here okay fine"), (2, "same text here okay fine")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "entirely unrelated evaluation material present")], "doc_id long, text string"
+    )
+    out = decontaminate_fuzzy(train, eval_df, threshold=0.5).toPandas()
+    assert not out["contaminated"].any()
+
+
+def test_decontaminate_fuzzy_shuffle_fallback_matches_broadcast(spark, docs):
+    from proxyfeatureextraction_spark.operators.curation import decontaminate_fuzzy
+
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    a = (
+        decontaminate_fuzzy(tr, ev, threshold=0.6, broadcast_eval=True)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decontaminate_fuzzy(tr, ev, threshold=0.6, broadcast_eval=False)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 # --------------------------------------------------------------- scrub_pii
 
 
