@@ -273,6 +273,7 @@ def pack_sequences(
     tok_col: str | None = None,
     text_col: str = "text",
     seed: int = 0,
+    max_shard_rows: int | None = 5_000_000,
 ) -> DataFrame:
     """Greedy sequence packing: assign docs to fixed-capacity context
     bins — the batching step before LLM training.
@@ -294,6 +295,12 @@ def pack_sequences(
 
     Deterministic end-to-end (hash shard + id order), so the DuckDB
     oracle replays the identical walk with a recursive CTE.
+
+    ``max_shard_rows`` is the per-task guard: the grouped-map
+    materializes a whole shard in one Arrow batch (3 longs/row, so 5M
+    rows ≈ 120 MB — comfortable), and the kernel raises past the bound
+    with a pointer to a larger ``n_shards`` rather than letting one
+    task swallow an unbounded shard. ``None`` disables.
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
@@ -315,6 +322,12 @@ def pack_sequences(
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         del key
+        if max_shard_rows is not None and len(pdf) > max_shard_rows:
+            raise ValueError(
+                f"pack_sequences shard holds {len(pdf)} docs > max_shard_rows "
+                f"{max_shard_rows}: raise n_shards (currently {n_shards}) so "
+                f"each packing stream fits one task, or raise/disable the bound."
+            )
         pdf = pdf.sort_values("doc_id", kind="stable").reset_index(drop=True)
         bins, fills = [], []
         bin_id, fill = 0, 0

@@ -287,3 +287,56 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
 def test_pack_sequences_rejects_nonpositive_capacity(spark, docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, max_tokens=0)
+
+
+def test_pack_sequences_shard_guard_fires(spark, docs):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    out = pack_sequences(docs, max_tokens=256, n_shards=1, max_shard_rows=10)
+    with pytest.raises(PythonException, match="max_shard_rows"):
+        out.count()
+
+
+# ----------------------------------------------------------- plan shapes
+
+
+def test_hash_split_plan_is_narrow(spark, docs):
+    """The split label must fuse into the scan: no Exchange anywhere —
+    at 100 TB a split column that costs a shuffle is wrong."""
+    plan = (
+        hash_split(docs, {"train": 0.9, "test": 0.1})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_plan_broadcasts_eval(spark, docs):
+    """The eval shingle set must reach the train scan as a broadcast
+    join — never a cross join, never a full-corpus shuffle join."""
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = (
+        decontaminate(tr, ev, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_fuzzy_plan_broadcasts_eval(spark, docs):
+    from proxyfeatureextraction_spark.operators.curation import decontaminate_fuzzy
+
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = (
+        decontaminate_fuzzy(tr, ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
