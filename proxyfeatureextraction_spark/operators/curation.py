@@ -120,6 +120,39 @@ def sample_per_group(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows
+    per group (Efraimidis–Spirakis A-ES): each row gets key
+    ``u^(1/w)`` with ``u = (hash(id)+1)/(M+1)`` in (0, 1], and the n
+    largest keys win — inclusion probability rises with ``weight_col``
+    (e.g. quality score), exactly the A-ES reservoir semantics but
+    expressed as one window pass instead of a sequential reservoir.
+    RNG-free (portable id hash), so re-runs, reorderings and
+    repartitionings draw the same sample; ``seed`` re-keys the draw.
+
+    Rows with null or non-positive weight are EXCLUDED (they'd need
+    u^(1/w) with w ≤ 0 — undefined; filter or clamp upstream to give
+    them mass). Same scale shape as ``sample_per_group``: one
+    hash-partition exchange on ``group_col``.
+    """
+    u = (_id_hash(id_col, seed) + 1).cast("double") / float(HASH_MOD + 1)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(group_col).orderBy(F.desc(key), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -87,6 +87,57 @@ def test_sample_per_group_small_group_kept_whole(spark):
     assert len(out) == 3
 
 
+# ------------------------------------------------- weighted_sample_per_group
+
+
+def test_weighted_sample_matches_aes_reference(spark, docs):
+    """Exact parity with a pandas replay of the A-ES key formula
+    (u^(1/w) on the same portable hash) — no statistics needed."""
+    import numpy as np
+
+    from proxyfeatureextraction_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+    from proxyfeatureextraction_spark.operators.dedup import HASH_MOD, perm_params
+
+    wdf = docs.withColumn("wt", (F.col("doc_id") % 7 + 1).cast("double"))
+    got = (
+        weighted_sample_per_group(wdf, "lang", 4, "wt", seed=11)
+        .select("lang", "doc_id")
+        .toPandas()
+    )
+    pdf = wdf.select("lang", "doc_id", "wt").toPandas()
+    a, b = perm_params(11)
+    h = (pdf["doc_id"] % HASH_MOD) * a % HASH_MOD  # staged like int64 spark ops
+    h = (h + b) % HASH_MOD
+    pdf["key"] = np.power((h + 1) / float(HASH_MOD + 1), 1.0 / pdf["wt"])
+    exp = (
+        pdf.sort_values(["key", "doc_id"], ascending=[False, True], kind="stable")
+        .groupby("lang")
+        .head(4)
+    )
+    assert set(map(tuple, got[["lang", "doc_id"]].to_numpy())) == set(
+        map(tuple, exp[["lang", "doc_id"]].to_numpy())
+    )
+
+
+def test_weighted_sample_favors_heavy_rows_and_drops_nonpositive(spark):
+    from proxyfeatureextraction_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g", 1000.0 if i == 0 else 1.0) for i in range(60)]
+    rows += [(100, "g", 0.0), (101, "g", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, wt double")
+    hits = 0
+    for seed in range(8):
+        got = weighted_sample_per_group(df, "lang", 5, "wt", seed=seed).toPandas()
+        assert len(got) == 5
+        assert not set(got["doc_id"]) & {100, 101}
+        hits += int(0 in set(got["doc_id"]))
+    assert hits >= 7  # weight-1000 row is near-certain to be drawn
+
+
 # -------------------------------------------------------------- decontaminate
 
 
