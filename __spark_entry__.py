@@ -745,6 +745,88 @@ def _hash_split_oracle() -> str:
         """
 
 
+def _curate_corpus_oracle() -> str:
+    """DuckDB twin of curation.curate_corpus over the %20 eval split:
+    quality (text.quality_score mirror, CAST AS DOUBLE so /3.0 uses
+    float semantics) → good docs → normalize+jaccard+exact edges →
+    recursive closure → survivors → 8-gram decon → labeled output with
+    the split_bounds()-derived hash split."""
+    from proxyfeatureextraction_spark.operators.curation import split_bounds
+
+    bounds = split_bounds({"train": 0.95, "val": 0.05})
+    whens = " ".join(f"WHEN hh < {b} THEN '{name}'" for name, b in bounds)
+    return f"""
+        WITH RECURSIVE qual AS (
+          SELECT doc_id, text,
+                 round(CAST((CASE WHEN length(text) >= 50 AND length(text) <= 4000
+                                  THEN 1.0 ELSE 0.3 END
+                      + CASE WHEN swr > 0.02 AND swr < 0.5 THEN 1.0 ELSE 0.5 END
+                      + CASE WHEN ltr < 0.5 THEN 1.0 ELSE 0.4 END) AS DOUBLE) / 3.0,
+                       6) AS quality
+          FROM (SELECT doc_id, text,
+                       len(list_filter(toks, w -> w IN ('the','a','and','of','to','in')))
+                         * 1.0 / greatest(len(toks), 1) AS swr,
+                       len(list_filter(toks, w -> length(w) >= 8))
+                         * 1.0 / greatest(len(toks), 1) AS ltr
+                FROM (SELECT doc_id, text,
+                             list_filter(string_split(text, ' '),
+                                         w -> length(w) > 0) AS toks
+                      FROM documents WHERE doc_id % 20 <> 0))
+        ),
+        good AS (SELECT doc_id, text FROM qual WHERE quality >= 0.8),
+        nd AS (SELECT doc_id, {_normalize_sql('text')} AS text FROM good),
+        {_jaccard_ctes('nd')},
+        ex AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nd a JOIN nd b ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        alle AS (
+          SELECT doc_a, doc_b FROM jpairs
+          UNION
+          SELECT doc_a, doc_b FROM ex
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM alle
+          UNION
+          SELECT doc_b, doc_a FROM alle
+        ),
+        reach(d, r) AS (
+          SELECT doc_id, doc_id FROM good
+          UNION
+          SELECT reach.d, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        assign AS (SELECT d AS doc_id, min(r) AS rep FROM reach GROUP BY d),
+        strain AS (
+          SELECT g.doc_id,
+                 list_filter(string_split(coalesce(g.text, ''), ' '),
+                             x -> length(x) > 0) AS toks
+          FROM good g JOIN assign a ON g.doc_id = a.doc_id AND a.rep = g.doc_id
+        ),
+        evd AS (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> length(x) > 0) AS toks
+                FROM documents WHERE doc_id % 20 = 0),
+        evs AS (SELECT DISTINCT w FROM evd,
+                       UNNEST(list_distinct({_shingle_list_sql('toks', 8)})) AS t(w)),
+        trs AS (SELECT doc_id, w FROM strain,
+                       UNNEST(list_distinct({_shingle_list_sql('toks', 8)})) AS t(w)),
+        hits AS (SELECT doc_id, count(*) AS n_hits
+                 FROM trs JOIN evs USING (w) GROUP BY doc_id),
+        lab AS (
+          SELECT q.doc_id, q.quality,
+                 CASE WHEN q.quality < 0.8 THEN 'quality'
+                      WHEN a.rep <> q.doc_id THEN 'duplicate'
+                      WHEN coalesce(h.n_hits, 0) > 0 THEN 'contaminated'
+                      ELSE 'kept' END AS reason
+          FROM qual q
+          LEFT JOIN assign a ON q.doc_id = a.doc_id
+          LEFT JOIN hits h ON q.doc_id = h.doc_id
+        )
+        SELECT doc_id, quality, reason, reason = 'kept' AS keep,
+               CASE {whens} ELSE 'val' END AS split
+        FROM (SELECT *, {_id_hash_sql('doc_id', seed=7)} AS hh FROM lab)
+        """
+
+
 def _pii_scrub_oracle() -> str:
     """DuckDB twin of functions.text.scrub_pii over id-injected PII
     (regex subset chosen to behave identically in Java regex and RE2;
@@ -1293,6 +1375,26 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The one-call corpus-preparation pipeline: quality filter (≥0.8)
+    → near-dup removal (normalize + Jaccard 0.8 + star contraction) →
+    8-gram decontamination of survivors vs the eval split (doc_id %
+    20 == 0) → deterministic train/val hash split. One labeled row per
+    doc: (doc_id, quality, reason, keep, split)."""
+    from proxyfeatureextraction_spark.operators.curation import curate_corpus
+
+    d = _table(spark, sf_dir, "documents")
+    return curate_corpus(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        weights={"train": 0.95, "val": 0.05},
+        threshold=0.8,
+        min_quality=0.8,
+        decon_n=8,
+        split_seed=7,
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing into 512-token context bins, 8 parallel
     shard streams (first-fit-sequential by doc_id within shard). The
@@ -1426,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -2270,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
         """,
         "pii_scrub": _pii_scrub_oracle(),
+        "curate_corpus": _curate_corpus_oracle(),
         "pack_sequences": f"""
         WITH RECURSIVE base AS (
           SELECT CAST(({_id_hash_sql('doc_id', seed=1)}) % 8 AS INTEGER) AS shard,

@@ -4,8 +4,10 @@ Beyond dedup/similarity (operators/dedup.py, operators/similarity.py),
 a production pipeline needs the selection layer: deterministic
 train/val/test splits, per-group sampling, eval-set decontamination,
 and sequence packing. All deterministic (portable polynomial / affine
-hashes — no engine RNG), so every operator has a bit-identical DuckDB
-oracle in ``__spark_entry__``.
+hashes — no engine RNG), so every operator except
+``weighted_sample_per_group`` (float-pow tie order is not portable;
+pytest-pinned instead) has a bit-identical DuckDB oracle in
+``__spark_entry__``.
 
 Scale notes per operator are in the docstrings; none of these collect
 to the driver and the only broadcast is the (small) eval shingle set in
@@ -48,8 +50,8 @@ def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
     and its SQL oracle so both sides use bit-identical float → int
     threshold arithmetic."""
     total = float(sum(weights.values()))
-    if total <= 0:
-        raise ValueError("split weights must sum to a positive value")
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative with a positive sum")
     labels = list(weights)
     cum, out = 0.0, []
     for name in labels[:-1]:
@@ -284,6 +286,73 @@ def decontaminate_fuzzy(
             F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
             (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    eval_df: DataFrame,
+    weights: dict[str, float],
+    threshold: float = 0.8,
+    min_quality: float = 0.0,
+    decon_n: int = 8,
+    split_seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "auto",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The one-call corpus-preparation pipeline — what a training-data
+    team actually runs end-to-end: quality filter → near-dup removal →
+    benchmark decontamination → train/val/test split. Returns one row
+    per input doc: ``(doc_id, quality, reason, keep, split)`` with
+    ``reason ∈ {quality, duplicate, contaminated, kept}`` (first
+    matching stage wins, in pipeline order) and ``keep = reason ==
+    'kept'``.
+
+    Stage order matters and mirrors production practice: quality-fail
+    docs never vote in dedup (a junk doc must not become a cluster's
+    survivor), and only dedup SURVIVORS are decontaminated (their
+    dropped near-twins die anyway — this keeps the decon scan at
+    survivor cardinality). The split label is assigned to every doc so
+    downstream re-admission (e.g. relaxing ``min_quality``) never
+    reshuffles membership.
+
+    Every stage is the already-gated operator (``quality_score``,
+    ``dedup_corpus``, ``decontaminate``, ``split_assign``), so the
+    whole composition has a DuckDB oracle; scale shape is the union of
+    the stages' (the dedup star-contraction dominates).
+    """
+    from proxyfeatureextraction_spark.functions.text import quality_score
+    from proxyfeatureextraction_spark.operators.dedup import dedup_corpus
+
+    qual = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        quality_score("text").alias("quality"),
+    )
+    good = qual.filter(F.col("quality") >= min_quality)
+    assign = dedup_corpus(
+        good, threshold=threshold, method=method, max_iter=max_iter
+    )
+    surv_docs = good.join(
+        assign.filter("is_survivor").select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    dec = decontaminate(surv_docs, eval_df, n=decon_n, text_col="text")
+    return (
+        qual.join(assign.select("doc_id", "is_survivor"), "doc_id", "left")
+        .join(dec.select("doc_id", "contaminated"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.when(F.col("quality") < min_quality, "quality")
+            .when(~F.coalesce("is_survivor", F.lit(False)), "duplicate")
+            .when(F.coalesce("contaminated", F.lit(False)), "contaminated")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+        .withColumn("keep", F.col("reason") == "kept")
+        .withColumn("split", split_assign(weights, id_col="doc_id", seed=split_seed))
     )
 
 

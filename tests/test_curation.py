@@ -284,6 +284,49 @@ def test_scrub_pii_masks_and_counts(spark):
     assert out.loc[3, "scrubbed"] == "" and out.loc[3, "n_emails"] == 0
 
 
+# ------------------------------------------------------------ curate_corpus
+
+
+def test_curate_corpus_end_to_end_labels(spark):
+    from proxyfeatureextraction_spark.operators.curation import curate_corpus
+
+    T = "the cat sat on a mat with many other friendly cats nearby today"
+    T2 = "the cat sat on a mat with many other friendly dogs nearby today"
+    eval_df = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta echo foxtrot golf hotel india")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x"),  # quality fail (short): must NOT vote in dedup
+            (2, T),  # survivor of the {2,3,4} cluster
+            (3, T),  # exact dup
+            (4, T2),  # near dup (word-set jaccard 12/14 ≈ 0.857)
+            (5, "an entirely unique document about the weather and a garden full of plants"),
+            (6, "note that alpha bravo charlie delta echo foxtrot golf hotel india appears in the middle here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        curate_corpus(
+            train, eval_df, weights={"train": 0.5, "val": 0.5},
+            threshold=0.8, min_quality=0.8, decon_n=8,
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "reason"] == "quality"
+    assert out.loc[2, "reason"] == "kept"
+    assert out.loc[3, "reason"] == "duplicate"
+    assert out.loc[4, "reason"] == "duplicate"
+    assert out.loc[5, "reason"] == "kept"
+    assert out.loc[6, "reason"] == "contaminated"
+    assert (out["keep"] == (out["reason"] == "kept")).all()
+    assert out["split"].isin(["train", "val"]).all()  # every doc labeled
+    assert len(out) == 6
+
+
 # ----------------------------------------------------------- pack_sequences
 
 
