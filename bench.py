@@ -79,6 +79,21 @@ def main() -> None:
         ]
         timings[name] = min(samples[name])
 
+    # round-3 curation/dedup additions, timed OUTSIDE the headline set
+    # (the headline list is pinned for round-over-round comparability;
+    # these publish per-op evidence for the new operators)
+    extra = [
+        "dedup_corpus", "decontaminate", "decontaminate_fuzzy",
+        "pack_sequences", "curate_corpus", "corpus_report", "hash_split",
+    ]
+    extras: dict[str, float] = {}
+    for name in extra:
+        reps = [
+            round(_time(lambda: qs[name](spark, sf_dir).count()), 3) for _ in range(2)
+        ]
+        samples[name] = reps
+        extras[name] = min(reps)
+
     # feature-extraction throughput on the synthetic transcript table
     marker = os.path.join(bench_dir, f"convs_{n_convs}")
     if not os.path.exists(os.path.join(marker, "_SUCCESS")):
@@ -105,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extras,
                 # raw best-of-N samples per query: the reported number is
                 # falsifiable against its own spread (judge r2 finding #4)
                 "reps": samples,
