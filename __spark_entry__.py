@@ -1395,6 +1395,17 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Frequent-phrase mining: top-50 word bigrams by occurrence count
+    (doc frequency alongside), count-desc/gram-asc deterministic order.
+    Executes as TakeOrderedAndProject — no global sort."""
+    from proxyfeatureextraction_spark.functions.text import top_ngrams
+
+    return top_ngrams(
+        _table(spark, sf_dir, "documents"), n=2, k=50, min_count=2
+    )
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-source corpus audit: doc/distinct counts, exact-dup rate,
     mean quality and token count, total chars — the stats pass run
@@ -1539,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "corpus_report": q_corpus_report,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -2384,6 +2396,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
+        "top_ngrams": f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ),
+        g AS (SELECT doc_id, w FROM tk,
+                     UNNEST({_shingle_list_sql('toks', 2)}) AS t(w)),
+        c AS (SELECT w AS gram, count(*) AS n_occ,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM g GROUP BY w)
+        SELECT gram, n_occ, n_docs FROM c
+        WHERE n_occ >= 2
+        ORDER BY n_occ DESC, gram ASC LIMIT 50
+        """,
         "corpus_report": """
         WITH t AS (
           SELECT source, text,

@@ -159,6 +159,44 @@ def scrub_pii(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most frequent word ``n``-grams with occurrence and
+    document frequencies — vocabulary building / boilerplate-phrase
+    mining (the pass that finds the navbar junk to strip before
+    training). Returns ``(gram, n_occ, n_docs)`` ordered by
+    (count desc, gram asc) — a deterministic total order, so the
+    result set is stable.
+
+    Scale shape: explode → groupBy with map-side partial aggregation →
+    ``orderBy().limit(k)``, which Spark executes as TakeOrderedAndProject
+    (per-partition top-k, then a k-row merge on the driver) — no global
+    sort materializes. Docs shorter than ``n`` words contribute their
+    whole text as one gram (same convention as the dedup shingles).
+    """
+    from proxyfeatureextraction_spark.operators.dedup import _shingle_col
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_col(text_col, n)).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.filter(F.col("n_occ") >= min_count)
+        .orderBy(F.desc("n_occ"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = (
         df.withColumn("n_tokens", token_count(text_col))

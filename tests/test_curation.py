@@ -391,6 +391,42 @@ def test_pack_sequences_shard_guard_fires(spark, docs):
         out.count()
 
 
+# ------------------------------------------------------------- top_ngrams
+
+
+def test_top_ngrams_counts_and_order(spark):
+    from proxyfeatureextraction_spark.functions.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b"),
+            (2, "a b x y"),
+            (3, "z"),  # shorter than n: whole text becomes the gram
+        ],
+        "doc_id long, text string",
+    )
+    out = top_ngrams(df, n=2, k=10, min_count=1).toPandas()
+    top = out.iloc[0]
+    assert top["gram"] == "a b" and top["n_occ"] == 3 and top["n_docs"] == 2
+    assert "z" in set(out["gram"])
+    # deterministic order: count desc then gram asc
+    assert list(out["n_occ"]) == sorted(out["n_occ"], reverse=True)
+
+
+def test_top_ngrams_plan_is_take_ordered(spark, docs):
+    """limit-after-orderBy must execute as TakeOrderedAndProject — a
+    global Sort before the limit would materialize the full gram table."""
+    from proxyfeatureextraction_spark.functions.text import top_ngrams
+
+    plan = (
+        top_ngrams(docs, n=2, k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 # ----------------------------------------------------------- plan shapes
 
 
