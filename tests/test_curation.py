@@ -366,6 +366,43 @@ def test_pack_sequences_matches_greedy_reference(spark):
         assert len(same_bin) == 1 and row["n_tok"] > 256
 
 
+def test_pack_sequences_property_random_shapes(spark):
+    """Property sweep (hypothesis): random token lists — including
+    zeros and over-capacity docs — must match the greedy reference in
+    every shard, with non-decreasing bin ids in doc order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+        cap=st.integers(min_value=1, max_value=200),
+    )
+    def prop(toks, cap):
+        pdf = pd.DataFrame({"doc_id": range(len(toks)), "n_tok": toks})
+        out = (
+            pack_sequences(
+                spark.createDataFrame(pdf), max_tokens=cap, n_shards=3,
+                tok_col="n_tok", seed=4,
+            )
+            .toPandas()
+            .sort_values(["shard", "doc_id"])
+        )
+        assert len(out) == len(toks)
+        for _, grp in out.groupby("shard"):
+            ordered = grp.sort_values("doc_id")
+            assert ordered["bin_id"].tolist() == _greedy_reference(
+                ordered["n_tok"].tolist(), cap
+            )
+            assert ordered["bin_id"].is_monotonic_increasing
+
+    prop()
+
+
 def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     df = spark.createDataFrame(
         [(1, 100), (2, 999), (3, 100)], "doc_id long, n_tok long"
