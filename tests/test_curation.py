@@ -464,6 +464,51 @@ def test_top_ngrams_plan_is_take_ordered(spark, docs):
     assert "TakeOrderedAndProject" in plan
 
 
+# ----------------------------------------------------- streaming parity
+
+
+def test_curation_columns_stream_parity(spark, docs, tmp_path):
+    """The stateless curation layer (split label, PII scrub, quality)
+    must run unchanged on a readStream — same rows as batch. This is
+    what lets ingest-time curation live in the streaming pipeline."""
+    from proxyfeatureextraction_spark.functions.text import quality_score, scrub_pii
+    from proxyfeatureextraction_spark.operators.curation import split_assign
+
+    path = str(tmp_path / "cur_src")
+    docs.write.mode("overwrite").parquet(path)
+
+    def curate_cols(df):
+        pii = scrub_pii("text")
+        return df.select(
+            "doc_id",
+            split_assign({"train": 0.9, "val": 0.1}, seed=2).alias("split"),
+            pii["n_emails"].alias("n_emails"),
+            pii["scrubbed"].alias("scrubbed"),
+            quality_score("text").alias("quality"),
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        curate_cols(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cur_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = (
+        spark.table("cur_stream").toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        curate_cols(spark.read.parquet(path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp) and len(got) == 300
+
+
 # ----------------------------------------------------------- plan shapes
 
 
