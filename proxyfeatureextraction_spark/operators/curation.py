@@ -9,9 +9,12 @@ hashes — no engine RNG), so every operator except
 pytest-pinned instead) has a bit-identical DuckDB oracle in
 ``__spark_entry__``.
 
-Scale notes per operator are in the docstrings; none of these collect
-to the driver and the only broadcast is the (small) eval shingle set in
-``decontaminate``.
+Scale notes per operator are in the docstrings. The only broadcasts
+are the (small) eval-side tables in ``decontaminate`` /
+``decontaminate_fuzzy``; nothing here collects to the driver except
+``curate_corpus``'s dedup stage when it routes through the guarded
+exact-Jaccard baseline (fail-fast bounded; auto-falls back to the LSH
+route past the bound).
 """
 
 from __future__ import annotations
