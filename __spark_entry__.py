@@ -731,6 +731,31 @@ def _band_cte_sql(src: str, p: str, n_perm: int, bands: int) -> str:
         {p}bands AS ({bands_sql})"""
 
 
+def _winnow_cte(k: int = 4, window: int = 4) -> str:
+    """CTE chain ending in ``wn (doc_id, fps)`` — DuckDB twin of
+    operators.dedup.winnow_fingerprints (word k-gram hashes, window
+    minima, dedup; < window grams → full distinct hash set)."""
+    return f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ),
+        gr AS (SELECT doc_id, {_shingle_list_sql('toks', k)} AS grams FROM tk),
+        hsq AS (SELECT doc_id,
+                       list_transform(grams, g -> {_word_hash_sql('g')}) AS hs
+                FROM gr),
+        wn AS (SELECT doc_id,
+                      CASE WHEN len(hs) >= {window}
+                           THEN list_distinct(list_transform(
+                                  range(1, len(hs) - {window} + 2),
+                                  i -> list_min(hs[i:i+{window - 1}])))
+                           ELSE list_distinct(hs) END AS fps
+               FROM hsq)
+        """
+
+
 def _hash_split_oracle() -> str:
     """DuckDB twin of curation.hash_split({train:.9, val:.05, test:.05},
     seed=7): thresholds come from the SAME split_bounds() float→int
@@ -1293,6 +1318,29 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_doc_winnow(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (word 4-grams, window 4):
+    (doc_id, fp) postings — partial-copy detection's index side. Pure
+    JVM array HOFs over the portable polynomial hash."""
+    from proxyfeatureextraction_spark.operators.dedup import winnow_fingerprints
+
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints("text", k=4, window=4)).alias("fp")
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Partial-copy candidate pairs: docs sharing ≥2 winnowed
+    fingerprints, with the shared count — catches a doc quoting one
+    paragraph of another even at near-zero whole-doc similarity."""
+    from proxyfeatureextraction_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _table(spark, sf_dir, "documents"), k=4, window=4, min_shared=2
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split: affine id-hash thresholds —
     no RNG, stable under re-runs/reordering/partition changes (unlike
@@ -1551,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "corpus_report": q_corpus_report,
         "top_ngrams": q_top_ngrams,
+        "doc_winnow": q_doc_winnow,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -2336,6 +2386,17 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                count(*) FILTER (WHERE event_type = 'view') AS n_view
         FROM ev GROUP BY user_id
+        """,
+        "doc_winnow": _winnow_cte() + """
+        SELECT doc_id, fp FROM wn, UNNEST(fps) AS t(fp)
+        """,
+        "winnow_pairs": _winnow_cte() + """
+        , fpp AS (SELECT doc_id, fp FROM wn, UNNEST(fps) AS t(fp)),
+        capped AS (SELECT *, count(*) OVER (PARTITION BY fp) AS _pn FROM fpp),
+        ok AS (SELECT doc_id, fp FROM capped WHERE _pn <= 5000)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "hash_split": _hash_split_oracle(),
         "sample_per_group": f"""

@@ -450,6 +450,82 @@ def minhash_lsh_candidates(
     )
 
 
+def winnow_fingerprints(
+    text_col: str = "text", k: int = 4, window: int = 4
+) -> Column:
+    """MOSS-style winnowing fingerprint set (Schleimer et al.,
+    SIGMOD'03 shape): hash every word ``k``-gram, slide a ``window``
+    over the hash sequence keeping each window's MINIMUM, dedup.
+    Guarantees any shared run of ≥ ``window + k - 1`` words produces at
+    least one shared fingerprint — PARTIAL-copy / clone detection, a
+    different capability from the whole-document Jaccard/minhash
+    routes (a doc quoting one paragraph of another shares fingerprints
+    even when their overall word-set similarity is near zero).
+
+    Pure JVM higher-order functions over the portable polynomial hash,
+    so the whole pipeline has a bit-identical DuckDB twin. Docs with
+    fewer than ``window`` k-grams fall back to their full distinct
+    hash set (standard winnowing edge rule); empty/null text yields an
+    empty array.
+    """
+    grams = _shingle_col(text_col, k)
+    hs = F.transform(grams, lambda g: portable_word_hash(g))
+    m = F.size(hs)
+    return F.when(
+        m >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - window + 1),
+                lambda i: F.array_min(F.slice(hs, i, window)),
+            )
+        ),
+    ).otherwise(F.array_distinct(hs))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int | None = 5_000,
+) -> DataFrame:
+    """Partial-copy candidate pairs: docs sharing ≥ ``min_shared``
+    winnowed fingerprints, with the shared count
+    (``doc_a < doc_b, n_shared``). The clone-detection join: explode
+    fingerprints to a postings list, equi-join on fingerprint,
+    aggregate per pair. ``max_postings`` is the usual hot-key cap — a
+    fingerprint present in more than this many docs (boilerplate) is
+    dropped from the join before it goes quadratic; ``None`` disables.
+    Fully distributed, no broadcast, no driver collect."""
+    fps = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprints(text_col, k=k, window=window)).alias("fp"),
+    )
+    if max_postings is not None:
+        fps = (
+            fps.withColumn(
+                "_pn", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("_pn") <= max_postings)
+            .drop("_pn")
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _simhash_col(df: DataFrame, bits: int, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash): sign-of-sum over ±1 word-hash bits — the
     shared core of ``simhash_buckets`` and ``simhash_candidates``."""

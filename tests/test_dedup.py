@@ -508,3 +508,51 @@ def test_jaccard_set_collapse_matches_bruteforce(spark):
         (1, 2): 1.0, (1, 6): 1.0, (2, 6): 1.0,
         (1, 3): 0.8, (2, 3): 0.8, (3, 6): 0.8,
     }
+
+
+def test_winnow_guarantee_shared_run_produces_shared_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al.): any shared run of
+    ≥ window + k − 1 words yields ≥ 1 shared fingerprint — here a
+    7-word quote inside otherwise-disjoint documents (k=4, window=4).
+    Whole-doc word-set Jaccard of the pair is far below any dedup
+    threshold, which is exactly the capability gap winnowing fills."""
+    from proxyfeatureextraction_spark.operators.dedup import winnow_pairs
+
+    quote = "alpha bravo charlie delta echo foxtrot golf"
+    rows = [
+        (1, f"one two three {quote} four five six seven eight nine ten"),
+        (2, f"crimson amber teal {quote} violet indigo maroon ochre sepia umber"),
+        (3, "completely separate words sharing no run with anything else here"),
+    ]
+    out = winnow_pairs(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        k=4, window=4, min_shared=1,
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_fingerprints_order_sensitive_and_short_doc_fallback(spark):
+    from pyspark.sql import functions as F
+
+    from proxyfeatureextraction_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "h g f e d c b a"),  # same word-set, reversed order
+            (3, "a b"),              # fewer than k words: whole-text gram
+            (4, None),               # null text: empty fingerprint set
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.fps
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=4, window=4).alias("fps")
+        ).collect()
+    }
+    assert set(out[1]) != set(out[2])  # order matters, unlike word-set jaccard
+    assert len(out[3]) == 1            # short-doc fallback: one whole-text hash
+    assert out[4] == []
