@@ -7,6 +7,7 @@ no Python in the hot path. Each returns Column(s) usable in any plan;
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -157,6 +158,32 @@ def scrub_pii(text_col: str = "text") -> dict[str, Column]:
         "n_phones": F.regexp_count(raw, F.lit(PHONE_RE)),
         "scrubbed": c,
     }
+
+
+def compression_ratio(text_col: str = "text", level: int = 6) -> Column:
+    """zlib compressed-size / raw-size per document — the cheap entropy
+    signal training pipelines use to kill boilerplate and generated
+    spam (near-0 → highly repetitive; ~1 → high-entropy/random; natural
+    prose sits in between). Runs as an Arrow-batched pandas UDF (zlib
+    is stdlib; there is no JVM builtin), one compress per doc per
+    batch; null/empty text → 0.0. Pytest-pinned against a direct zlib
+    replay — no SQL oracle exists for zlib, so this is deliberately not
+    a driver gate."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or len(t) == 0:
+                return 0.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return _ratio(F.col(text_col))
 
 
 def top_ngrams(

@@ -552,3 +552,30 @@ def test_decontaminate_fuzzy_plan_broadcasts_eval(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------ compression_ratio
+
+
+def test_compression_ratio_matches_zlib_and_separates_entropy(spark):
+    import zlib
+
+    from proxyfeatureextraction_spark.functions.text import compression_ratio
+
+    rep = "spam " * 400
+    prose = "the quick brown fox jumps over the lazy dog and keeps going " * 20
+    rand = " ".join(f"x{i * 2654435761 % 100003}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, rand), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    out = (
+        df.select("doc_id", compression_ratio("text").alias("cr"))
+        .toPandas()
+        .set_index("doc_id")["cr"]
+    )
+    for i, t in [(1, rep), (2, prose), (3, rand)]:
+        exp = round(len(zlib.compress(t.encode(), 6)) / len(t.encode()), 6)
+        assert out[i] == exp
+    assert out[1] < out[2] < out[3]  # repetitive < prose < high-entropy
+    assert out[4] == 0.0 and out[5] == 0.0
