@@ -1454,6 +1454,18 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+def q_profile_events(spark, sf_dir):
+    """Deequ-style numeric column profile of the event stream (value,
+    dir): counts/nulls/distinct/min/max/mean/quartiles, one agg pass,
+    stack-unpivoted to a row per column. (The gate profiles
+    small-magnitude columns: a mean over ~1e9-magnitude values differs
+    across engines in the last ulp from float-sum ordering — order
+    statistics are immune, means are not.)"""
+    from proxyfeatureextraction_spark.operators.curation import profile_numeric
+
+    return profile_numeric(_events(spark, sf_dir), ["value", "dir"])
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-source corpus audit: doc/distinct counts, exact-dup rate,
     mean quality and token count, total chars — the stats pass run
@@ -1601,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "doc_winnow": q_doc_winnow,
         "winnow_pairs": q_winnow_pairs,
+        "profile_events": q_profile_events,
     }
 
 
@@ -2386,6 +2399,28 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                count(*) FILTER (WHERE event_type = 'view') AS n_view
         FROM ev GROUP BY user_id
+        """,
+        "profile_events": _EVENTS_CTE + """
+        SELECT 'value' AS col, count(*) AS n,
+               count(*) - count(value) AS n_null,
+               count(DISTINCT value) AS n_distinct,
+               round(CAST(min(value) AS DOUBLE), 6) AS vmin,
+               round(CAST(max(value) AS DOUBLE), 6) AS vmax,
+               round(avg(value), 6) AS mean,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75
+        FROM ev
+        UNION ALL
+        SELECT 'dir', count(*), count(*) - count(dir),
+               count(DISTINCT dir),
+               round(CAST(min(dir) AS DOUBLE), 6),
+               round(CAST(max(dir) AS DOUBLE), 6),
+               round(avg(dir), 6),
+               round(quantile_cont(dir, 0.25), 6),
+               round(quantile_cont(dir, 0.5), 6),
+               round(quantile_cont(dir, 0.75), 6)
+        FROM ev
         """,
         "doc_winnow": _winnow_cte() + """
         SELECT doc_id, fp FROM wn, UNNEST(fps) AS t(fp)

@@ -579,3 +579,21 @@ def test_compression_ratio_matches_zlib_and_separates_entropy(spark):
         assert out[i] == exp
     assert out[1] < out[2] < out[3]  # repetitive < prose < high-entropy
     assert out[4] == 0.0 and out[5] == 0.0
+
+
+# ------------------------------------------------------------ profile_numeric
+
+
+def test_profile_numeric_stats(spark):
+    from proxyfeatureextraction_spark.operators.curation import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, None), (3.0, 30), (4.0, 40), (None, 50)],
+        "a double, b int",
+    )
+    out = profile_numeric(df, ["a", "b"]).toPandas().set_index("col")
+    assert out.loc["a", "n"] == 5 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 4
+    assert out.loc["a", "vmin"] == 1.0 and out.loc["a", "vmax"] == 4.0
+    assert out.loc["a", "p50"] == 2.5  # exact interpolation over 4 non-nulls
+    assert out.loc["b", "n_null"] == 1 and out.loc["b", "mean"] == 32.5
