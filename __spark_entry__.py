@@ -1454,6 +1454,18 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding store
+    (4× storage cut for the trillion-vector similarity path), exploded
+    to (vec_id, scale, pos, q) rows for the value hash."""
+    from proxyfeatureextraction_spark.operators.similarity import quantize_embeddings
+
+    e = _table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e).select(
+        "vec_id", "scale", F.posexplode("qvec").alias("pos", "q")
+    )
+
+
 def q_profile_events(spark, sf_dir):
     """Deequ-style numeric column profile of the event stream (value,
     dir): counts/nulls/distinct/min/max/mean/quartiles, one agg pass,
@@ -1614,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "winnow_pairs": q_winnow_pairs,
         "profile_events": q_profile_events,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -2399,6 +2412,25 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                count(*) FILTER (WHERE event_type = 'view') AS n_view
         FROM ev GROUP BY user_id
+        """,
+        "embedding_quantize": """
+        WITH q AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          v -> abs(CAST(v AS DOUBLE)))) AS mx
+          FROM embeddings
+        ),
+        t AS (
+          SELECT vec_id, round(mx / 127.0, 6) AS scale,
+                 CASE WHEN mx > 0
+                      THEN list_transform(embedding,
+                           v -> CAST(round(CAST(v AS DOUBLE) / (mx / 127.0))
+                                     AS INTEGER))
+                      ELSE list_transform(embedding, v -> 0) END AS qv
+          FROM q
+        )
+        SELECT vec_id, scale, pos, qv[pos + 1] AS q
+        FROM t, UNNEST(range(0, len(qv))) AS r(pos)
         """,
         "profile_events": _EVENTS_CTE + """
         SELECT 'value' AS col, count(*) AS n,

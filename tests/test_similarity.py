@@ -169,3 +169,42 @@ def test_lsh_recall_floor(spark, emb):
     # determinism
     again = cosine_topk_lsh(emb, k=3, n_planes=4, n_tables=8, seed=42).toPandas()
     assert set(zip(again["vec_id"], again["neighbor"])) == approx_pairs
+
+
+def test_quantize_embeddings_roundtrip_and_top1_agreement(spark, emb):
+    """int8 quantization: |dequantized − original| ≤ scale/2 per
+    element, all-zero vectors stay zero with scale 0, and brute-force
+    top-1 neighbors on dequantized vectors agree with full precision
+    for ≥ 90% of vectors (the storage-tier accuracy story)."""
+    import numpy as np
+
+    from proxyfeatureextraction_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    pdf = emb.toPandas()
+    q = quantize_embeddings(emb, round_digits=None or 6).toPandas().set_index("vec_id")
+    full = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    deq = {}
+    for vid, row in q.iterrows():
+        qv = np.array(row["qvec"], dtype=np.float64)
+        assert np.abs(qv).max() <= 127
+        deq[vid] = qv * row["scale"]
+        # roundtrip bound: half a quantization step, plus the error the
+        # 6-digit-rounded scale itself contributes (≤ 127 · 5e-7)
+        assert (
+            np.abs(deq[vid] - full[vid]).max()
+            <= row["scale"] / 2 + 127 * 5e-7 + 1e-9
+        )
+    ids = sorted(full)
+    F_ = np.vstack([full[i] for i in ids])
+    D_ = np.vstack([deq[i] for i in ids])
+
+    def top1(M):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        np.fill_diagonal(S, -np.inf)
+        return S.argmax(axis=1)
+
+    agree = (top1(F_) == top1(D_)).mean()
+    assert agree >= 0.9
