@@ -597,3 +597,42 @@ def test_profile_numeric_stats(spark):
     assert out.loc["a", "vmin"] == 1.0 and out.loc["a", "vmax"] == 4.0
     assert out.loc["a", "p50"] == 2.5  # exact interpolation over 4 non-nulls
     assert out.loc["b", "n_null"] == 1 and out.loc["b", "mean"] == 32.5
+
+
+# ------------------------------------------------------------- curate job
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    """The spark-submit curation job: writes split-partitioned curated
+    docs plus a pack plan, and its summary accounts for every doc."""
+    import json
+
+    from proxyfeatureextraction_spark.jobs.curate import main, parse_weights
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (i, " ".join(f"w{(i * 11 + j) % 29}" for j in range(30)) + " the a and of it",
+         "en", "s0", 0)
+        for i in range(120)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "curated")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main([
+            "--input", src, "--eval", src, "--output", out,
+            "--weights", "train=0.9,val=0.1", "--pack-tokens", "128",
+            "--pack-shards", "4",
+        ])
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert sum(summary["reasons"].values()) == 120
+    written = spark.read.parquet(f"{out}/docs")
+    assert written.count() == 120 and "split" in written.columns
+    # eval == input → every survivor is contaminated; nothing packs
+    assert summary["reasons"].get("kept", 0) == 0
+    assert parse_weights("a=1,b=2") == {"a": 1.0, "b": 2.0}
