@@ -861,7 +861,7 @@ def _pii_scrub_oracle() -> str:
     return f"""
         WITH base AS (
           SELECT doc_id,
-                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                 concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR),
                         '@example.com from 10.0.', CAST(doc_id % 256 AS VARCHAR),
                         '.7 call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
                         '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
@@ -1401,8 +1401,11 @@ def q_pii_scrub(spark, sf_dir):
 
     d = _table(spark, sf_dir, "documents").withColumn(
         "text",
+        # coalesce BEFORE concat: Spark concat(NULL,...) is NULL while
+        # DuckDB concat skips NULLs — a null text row would otherwise
+        # hash-diverge between the engines
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com from 10.0."),

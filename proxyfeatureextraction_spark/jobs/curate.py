@@ -5,9 +5,9 @@ removal → benchmark decontamination → split → (optionally) greedy
 sequence packing of the kept train docs, written partitioned by split
 so downstream training readers prune to their split at the scan.
 
-Usage (cluster):
+Usage (cluster — spark-submit takes a script path, not a module flag):
     spark-submit --py-files pfx.zip \\
-        -m proxyfeatureextraction_spark.jobs.curate \\
+        proxyfeatureextraction_spark/jobs/curate.py \\
         --input <documents parquet> --eval <eval parquet> \\
         --output <curated dir> [--threshold 0.8] [--min-quality 0.0] \\
         [--weights train=0.98,val=0.01,test=0.01] [--decon-n 8] \\
@@ -72,7 +72,10 @@ def main(argv: list[str] | None = None) -> None:
         min_quality=args.min_quality,
         decon_n=args.decon_n,
         split_seed=args.seed,
-    )
+    ).persist()
+    # persist: the label DAG (quality + iterative dedup star rounds +
+    # decontamination) feeds up to four actions below — without this
+    # the most expensive stage of the job would recompute each time
     curated = docs.join(labels, "doc_id")
     (
         curated.write.mode("overwrite")
@@ -95,6 +98,7 @@ def main(argv: list[str] | None = None) -> None:
         )
         packed.write.mode("overwrite").parquet(f"{args.output}/pack_plan")
         summary["bins"] = packed.select("shard", "bin_id").distinct().count()
+    labels.unpersist()
     print(json.dumps(summary))
 
 

@@ -1,7 +1,7 @@
 """spark-submit entry: resumable transcript feature extraction.
 
-Usage (cluster):
-    spark-submit --py-files pfx.zip -m proxyfeatureextraction_spark.jobs.extract \\
+Usage (cluster — spark-submit takes a script path, not a module flag):
+    spark-submit --py-files pfx.zip proxyfeatureextraction_spark/jobs/extract.py \\
         --input <transcripts parquet/iceberg> --output <feature table dir> \\
         [--pkt-limit 20] [--gateway] [--seed 42] [--transforms pad,jitter]
 

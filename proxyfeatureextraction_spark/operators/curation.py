@@ -341,7 +341,10 @@ def curate_corpus(
     surv_docs = good.join(
         assign.filter("is_survivor").select("doc_id"), "doc_id"
     ).select("doc_id", "text")
-    dec = decontaminate(surv_docs, eval_df, n=decon_n, text_col="text")
+    # alias the eval side too — eval_df arrives with the caller's
+    # text_col, not the internal "text" name
+    eval_texts = eval_df.select(F.col(text_col).alias("text"))
+    dec = decontaminate(surv_docs, eval_texts, n=decon_n, text_col="text")
     return (
         qual.join(assign.select("doc_id", "is_survivor"), "doc_id", "left")
         .join(dec.select("doc_id", "contaminated"), "doc_id", "left")
@@ -422,9 +425,9 @@ def profile_numeric(
             F.round(F.min(c).cast("double"), round_digits).alias(f"{c}__min"),
             F.round(F.max(c).cast("double"), round_digits).alias(f"{c}__max"),
             F.round(F.avg(c), round_digits).alias(f"{c}__mean"),
-            F.round(F.expr(f"percentile({c}, 0.25)"), round_digits).alias(f"{c}__p25"),
-            F.round(F.expr(f"percentile({c}, 0.5)"), round_digits).alias(f"{c}__p50"),
-            F.round(F.expr(f"percentile({c}, 0.75)"), round_digits).alias(f"{c}__p75"),
+            F.round(F.expr(f"percentile(`{c}`, 0.25)"), round_digits).alias(f"{c}__p25"),
+            F.round(F.expr(f"percentile(`{c}`, 0.5)"), round_digits).alias(f"{c}__p50"),
+            F.round(F.expr(f"percentile(`{c}`, 0.75)"), round_digits).alias(f"{c}__p75"),
         ]
     one = df.agg(*aggs)
     fields = ["n", "n_null", "n_distinct", "min", "max", "mean", "p25", "p50", "p75"]
@@ -488,7 +491,10 @@ def pack_sequences(
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     tok = (
-        F.col(tok_col).cast("long")
+        # null token counts behave like 0 (same convention as the
+        # text_col path, where null text yields 0 tokens) instead of
+        # surfacing as a NaN crash deep in the Arrow kernel
+        F.coalesce(F.col(tok_col).cast("long"), F.lit(0))
         if tok_col is not None
         else F.size(
             F.filter(

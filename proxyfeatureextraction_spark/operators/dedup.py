@@ -348,7 +348,17 @@ def band_signatures(
     """(doc_id, band, sig): minhash LSH band signatures — the shared
     core of ``minhash_lsh_candidates`` (self-join dedup) and
     ``curation.decontaminate_fuzzy`` (asymmetric train×eval join).
-    Portable polynomial hashing throughout (DuckDB bit-identical)."""
+    Portable polynomial hashing throughout (DuckDB bit-identical).
+
+    ``bands`` must divide ``n_perm``: a zero rows-per-band would fold
+    every signature to 0 (all docs collide — the candidate join goes
+    full cross product), and a non-divisor silently discards
+    permutations; both are rejected."""
+    if bands <= 0 or bands > n_perm or n_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of n_perm ({n_perm}): "
+            f"rows_per_band = n_perm // bands must be a whole positive number."
+        )
     w = _tokens(df, id_col, text_col, shingle).withColumn("_h", portable_word_hash("w"))
     mh = w.groupBy("doc_id").agg(
         *[F.min(_perm(F.col("_h"), i)).alias(f"h{i}") for i in range(n_perm)]

@@ -636,3 +636,57 @@ def test_curate_job_end_to_end(spark, tmp_path):
     # eval == input → every survivor is contaminated; nothing packs
     assert summary["reasons"].get("kept", 0) == 0
     assert parse_weights("a=1,b=2") == {"a": 1.0, "b": 2.0}
+
+
+# ------------------------------------------------------ review regressions
+
+
+def test_curate_corpus_respects_custom_text_col(spark):
+    from proxyfeatureextraction_spark.operators.curation import curate_corpus
+
+    long_a = "the cat sat on a mat with many other friendly cats nearby today"
+    train = spark.createDataFrame(
+        [(1, long_a), (2, "an entirely unique document about the weather and a garden")],
+        "doc_id long, content string",
+    )
+    eval_df = spark.createDataFrame([(9, long_a)], "doc_id long, content string")
+    out = (
+        curate_corpus(
+            train, eval_df, weights={"train": 1.0}, min_quality=0.0,
+            text_col="content", decon_n=8,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "reason"] == "contaminated"  # eval copy detected via content col
+    assert out.loc[2, "reason"] == "kept"
+
+
+def test_band_signatures_rejects_bad_band_count(spark, docs):
+    from proxyfeatureextraction_spark.operators.dedup import band_signatures
+
+    for bad in (0, 5, 32):
+        with pytest.raises(ValueError, match="divisor"):
+            band_signatures(docs, n_perm=16, bands=bad)
+
+
+def test_pack_sequences_null_token_counts_behave_like_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 100)], "doc_id long, n_tok long"
+    )
+    out = (
+        pack_sequences(df, max_tokens=150, n_shards=1, tok_col="n_tok")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 3 and out.loc[2, "n_tok"] == 0
+    # 100 + 0 fits the first bin; the second 100 opens a new one
+    assert out.loc[1, "bin_id"] == out.loc[2, "bin_id"] != out.loc[3, "bin_id"]
+
+
+def test_profile_numeric_handles_quoted_column_names(spark):
+    from proxyfeatureextraction_spark.operators.curation import profile_numeric
+
+    df = spark.createDataFrame([(1.0,), (3.0,)], ["event value"])
+    out = profile_numeric(df, ["event value"]).toPandas().set_index("col")
+    assert out.loc["event value", "p50"] == 2.0
