@@ -38,14 +38,26 @@ def asof_join(
     """Backward as-of: for each left row, the latest right values with
     ``right.ts <= left.ts`` within the same ``by`` key (exact-match
     inclusive). Right columns appear as ``<col><suffix>``.
+
+    Semantics notes (review-hardened):
+
+    - each value column back-fills INDEPENDENTLY from the latest right
+      row where THAT column is non-null, and ``tolerance`` is measured
+      against that same row — so a newer right row carrying NULL in one
+      column neither masks the older value nor falsely refreshes its
+      staleness clock;
+    - right rows tying on (key, ts) resolve deterministically to the
+      greatest value tuple (window order includes the value columns as
+      the final tiebreak), so reruns and repartitionings agree.
     """
     vr = [f"{c}{suffix}" for c in value_cols]
+    rts = [f"{_RTS}_{v}" for v in vr]
     l_cols = left.columns
     lhs = left.select(
         *l_cols,
         F.lit(1).alias(_TAG),
         *[F.lit(None).cast(right.schema[c].dataType).alias(v) for c, v in zip(value_cols, vr)],
-        F.lit(None).cast("double").alias(_RTS),
+        *[F.lit(None).cast("double").alias(r) for r in rts],
     )
     rhs = right.select(
         *by,
@@ -53,23 +65,28 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c not in by and c != ts_col],
         F.lit(0).alias(_TAG),
         *[F.col(c).alias(v) for c, v in zip(value_cols, vr)],
-        F.col(ts_col).cast("double").alias(_RTS),
+        # per-value timestamp: set only where that value is non-null, so
+        # the staleness clock tracks the row the value actually came from
+        *[
+            F.when(F.col(c).isNotNull(), F.col(ts_col).cast("double")).alias(r)
+            for c, r in zip(value_cols, rts)
+        ],
     ).select(*lhs.columns)
 
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts_col), F.col(_TAG))
+        .orderBy(F.col(ts_col), F.col(_TAG), *[F.col(v) for v in vr])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = lhs.unionByName(rhs)
-    for v in [*vr, _RTS]:
+    for v in [*vr, *rts]:
         filled = filled.withColumn(v, F.last(v, ignorenulls=True).over(w))
     out = filled.filter(F.col(_TAG) == 1).drop(_TAG)
     if tolerance is not None:
-        stale = F.col(ts_col).cast("double") - F.col(_RTS) > F.lit(float(tolerance))
-        for v in vr:
+        for v, r in zip(vr, rts):
+            stale = F.col(ts_col).cast("double") - F.col(r) > F.lit(float(tolerance))
             out = out.withColumn(v, F.when(stale, F.lit(None)).otherwise(F.col(v)))
-    return out.drop(_RTS)
+    return out.drop(*rts)
 
 
 def asof_join_global(
@@ -128,7 +145,21 @@ def interval_join(
     """Range join via bucketization: each span row is exploded into the
     buckets it covers, points are bucketed once, the join is a plain
     equi-join on bucket + residual range predicate. Span/bucket-width
-    ratio bounds the fan-out (pick bucket ≈ median span length)."""
+    ratio bounds the fan-out (pick bucket ≈ median span length).
+
+    INNER only: the residual range filter runs after the bucket join,
+    so an outer variant would either drop its unmatched rows at that
+    filter (silent inner degradation) or surface one null-padded row
+    per bucket replica. Callers needing point-less spans should
+    left-anti join the spans against this result instead.
+    """
+    if how != "inner":
+        raise ValueError(
+            f"interval_join supports how='inner' only (got {how!r}): the "
+            f"residual range filter after the bucket equi-join cannot "
+            f"preserve outer semantics over exploded span replicas. "
+            f"Recover unmatched spans with spans.join(result, ..., 'left_anti')."
+        )
     w = float(bucket_seconds)
     s = spans.withColumn(
         "_b",

@@ -67,8 +67,14 @@ def salted_stats(
         F.max("_mx").alias("max"),
     )
     mean = F.col("sum") / F.col("count")
-    var = F.col("sum_sq") / F.col("count") - mean * mean
-    var = F.greatest(var, F.lit(0.0))  # guard FP negatives
+    # FP-negative guard ONLY when data exists: greatest(NULL, 0.0)
+    # returns 0.0, which would turn an all-NULL key's variance from
+    # NULL ("no data") into 0.0 ("zero spread") — keep NULL like the
+    # plain F.var_pop oracle does
+    var = F.when(
+        F.col("count") > 0,
+        F.greatest(F.col("sum_sq") / F.col("count") - mean * mean, F.lit(0.0)),
+    )
     return (
         merged.withColumn("avg", mean)
         .withColumn("var_pop", var)
@@ -108,7 +114,12 @@ def salted_join(
             f"is replicated, so right/full would emit {salt}× dim rows."
         )
     if salt_col is not None:
-        sc = F.pmod(F.col(salt_col).cast("long"), F.lit(salt))
+        # coalesce: pmod(NULL) is NULL, which never equi-joins the dim
+        # replicas — a NULL salt_col row would silently vanish (inner)
+        # or lose its dim columns (left); route NULLs to bucket 0
+        sc = F.coalesce(
+            F.pmod(F.col(salt_col).cast("long"), F.lit(salt)), F.lit(0)
+        )
     else:
         sc = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt))
     f = fact.withColumn("_salt", sc)
@@ -150,21 +161,40 @@ def blocked_prefix_sum(
         .orderBy(idx_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("_within", F.sum(F.col(value_col).cast("double")).over(win_in))
+    v = F.col(value_col).cast("double")
+    # carry a non-null-count prefix alongside the value prefix (same
+    # treatment as plans/pit._cumn_in): a window sum is NULL iff its
+    # frame holds no non-null value, and NULL + _off would otherwise
+    # poison every row of an all-null-prefix block — diverging from
+    # the plain windows.prefix_sum this function must exactly equal
+    d = d.withColumn("_within", F.sum(v).over(win_in)).withColumn(
+        "_cnt_in", F.count(v).over(win_in)
+    )
 
-    totals = d.groupBy(key, "_blk").agg(F.sum(F.col(value_col).cast("double")).alias("_tot"))
+    totals = d.groupBy(key, "_blk").agg(
+        F.sum(v).alias("_tot"), F.count(v).alias("_cnt")
+    )
     win_blk = (
         Window.partitionBy(key)
         .orderBy("_blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(win_blk), F.lit(0.0))).select(
-        key, "_blk", "_off"
+    offsets = totals.select(
+        key,
+        "_blk",
+        F.coalesce(F.sum("_tot").over(win_blk), F.lit(0.0)).alias("_off"),
+        F.coalesce(F.sum("_cnt").over(win_blk), F.lit(0)).alias("_offcnt"),
     )
     return (
         d.join(offsets, [key, "_blk"], "inner")
-        .withColumn(out, F.col("_within") + F.col("_off"))
-        .drop("_blk", "_within", "_off")
+        .withColumn(
+            out,
+            F.when(
+                F.col("_cnt_in") + F.col("_offcnt") > 0,
+                F.coalesce(F.col("_within"), F.lit(0.0)) + F.col("_off"),
+            ),
+        )
+        .drop("_blk", "_within", "_cnt_in", "_off", "_offcnt")
     )
 
 

@@ -63,8 +63,13 @@ def chunk_id(rn_col: str = "rn", size: int = 20) -> Column:
 
 def time_bucket(ts_col: str, width: float) -> Column:
     """Tumbling bucket start via the reference's exact float formula
-    ``floor(ts/width)*width`` (``corr_extractor.py:161-163``) — kept
-    instead of ``window()`` for bit-level parity at bucket edges."""
+    ``floor(ts * (1/width)) / (1/width)`` (``corr_extractor.py:161-163``)
+    — kept instead of ``window()`` for bit-level parity at bucket
+    edges. NOT equivalent to ``floor(ts/width)*width``: the reciprocal
+    is rounded once and reused, which flips bucket assignment on edge
+    values (e.g. width=0.1, ts=4.3 → floor(4.3·10)=43 but
+    floor(4.3/0.1)=42); the oracle (tests/oracle/ref_corr.py) pins the
+    factor form, so do not "simplify" this."""
     factor = 1.0 / width
     return F.floor(F.col(ts_col) * factor) / F.lit(factor)
 

@@ -142,15 +142,20 @@ def pit_features_blocked(
         F.last("_blt", ignorenulls=True).over(wbprev).alias("_carry_lt"),
         F.last("_bltts", ignorenulls=True).over(wbprev).alias("_carry_ltts"),
     )
-    rblocks = d.groupBy(S.CONV, S.ROLE, "_blk").agg(
+    # null-safe role key for the carry JOIN: the plain path's window
+    # partitionBy(role) groups NULL roles together, but an equi-join on
+    # role would drop NULL-role rows entirely (NULL != NULL) — the two
+    # pit paths must agree row-for-row
+    d = d.withColumn("_rkey", F.coalesce(F.col(S.ROLE), F.lit("\x00<null-role>")))
+    rblocks = d.groupBy(S.CONV, "_rkey", "_blk").agg(
         F.max_by(S.TS_SEC, "_p").alias("_rclose")
     )
-    wrb = Window.partitionBy(S.CONV, S.ROLE).orderBy("_blk")
+    wrb = Window.partitionBy(S.CONV, "_rkey").orderBy("_blk")
     rcarry = rblocks.select(
-        S.CONV, S.ROLE, "_blk", F.lag("_rclose", 1).over(wrb).alias("_rprev")
+        S.CONV, "_rkey", "_blk", F.lag("_rclose", 1).over(wrb).alias("_rprev")
     )
 
-    d = d.join(carries, [S.CONV, "_blk"]).join(rcarry, [S.CONV, S.ROLE, "_blk"])
+    d = d.join(carries, [S.CONV, "_blk"]).join(rcarry, [S.CONV, "_rkey", "_blk"])
     gap = F.col(S.TS_SEC) - F.coalesce("_lag_ts_in", "_prev_close")
     d = d.withColumn("_gap", gap).withColumn(
         "_flag", F.when(F.col("_gap") > session_gap_s, one).otherwise(zero)

@@ -35,7 +35,15 @@ MANIFEST_DIR = "_manifests"
 
 
 def input_fingerprint(spark, path: str) -> str:
-    """Snapshot id on Iceberg; parquet listing hash otherwise."""
+    """Snapshot id on Iceberg; recursive file-listing hash otherwise.
+
+    The fallback must see REAL input changes (review-hardened): local
+    directories are walked recursively (partitioned datasets keep their
+    data files in subdirectories — a top-level listdir hashes only
+    unchanging directory entries) hashing relpath:size:mtime_ns per
+    data file, so a same-size in-place rewrite still changes the
+    fingerprint. Non-local paths (s3://, hdfs://) hash the dataset's
+    actual file listing via Spark rather than the path string."""
     try:  # Iceberg table identifier?
         snap = spark.sql(f"SELECT snapshot_id FROM {path}.snapshots ORDER BY committed_at DESC LIMIT 1")
         return f"iceberg:{snap.first()[0]}"
@@ -43,11 +51,20 @@ def input_fingerprint(spark, path: str) -> str:
         pass
     h = hashlib.blake2b(digest_size=16)
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, name))
-            h.update(f"{name}:{st.st_size}".encode())
+        for root, dirs, files in sorted(os.walk(path)):
+            dirs.sort()
+            for name in sorted(files):
+                if name.startswith("."):
+                    continue  # hidden temp files (._COPYING_ etc.)
+                st = os.stat(os.path.join(root, name))
+                rel = os.path.relpath(os.path.join(root, name), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     else:
-        h.update(path.encode())
+        try:  # remote FS: hash the resolved file listing, not the path
+            for f in sorted(spark.read.parquet(path).inputFiles()):
+                h.update(f.encode())
+        except Exception:  # noqa: BLE001 — unreadable: path-only fallback
+            h.update(path.encode())
     return f"files:{h.hexdigest()}"
 
 
@@ -146,6 +163,18 @@ def run_resumable(
     t0 = time.perf_counter()
     subset = raw.filter(F.col(partition_col).isin(pending))
     feats = build_features(subset)
+    # Drop the pending partitions' old files FIRST: dynamic overwrite
+    # only replaces partitions PRESENT in the new data, so a stale
+    # partition whose rebuild yields zero rows would keep its old
+    # parquet files — and the read-back below would then manifest that
+    # leftover stale data as fresh. (Cluster equivalent: ALTER TABLE …
+    # DROP PARTITION / an Iceberg overwrite of the affected partitions.)
+    import shutil
+
+    for part in pending:
+        pdir = os.path.join(out_dir, f"{partition_col}={part}")
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
     (
         feats.write.mode("overwrite")
         .partitionBy(partition_col)

@@ -98,3 +98,61 @@ def test_stale_manifest_reextracted(spark, transcripts_df, tmp_path):
     assert s["processed"] == len(completed_partitions(out))
     m = json.load(open(os.path.join(out, "_manifests", "folder_0.json")))
     assert m["input_fingerprint"] == s["fingerprint"]
+
+
+def test_fingerprint_sees_partitioned_subdir_rewrites(spark, transcripts_df, tmp_path):
+    """Review regression: a PARTITIONED input (data files in
+    subdirectories) rewritten in place must change the fingerprint —
+    the old top-level listdir hashed only the unchanging partition
+    directory names."""
+    from proxyfeatureextraction_spark.sources.checkpoint import input_fingerprint
+
+    src = str(tmp_path / "psrc")
+    transcripts_df.write.mode("overwrite").partitionBy(S.FOLDER).parquet(src)
+    fp1 = input_fingerprint(spark, src)
+    # same-shape rewrite of one partition (different rows)
+    transcripts_df.filter(f"{S.TURN} % 2 = 0").write.mode("overwrite").partitionBy(
+        S.FOLDER
+    ).parquet(src)
+    fp2 = input_fingerprint(spark, src)
+    assert fp1 != fp2
+
+
+def test_zero_row_rebuild_clears_stale_partition(spark, transcripts_df, tmp_path):
+    """Review regression: when a stale partition's rebuild yields zero
+    rows, its old parquet files must not survive the dynamic overwrite
+    and be re-manifested as fresh."""
+    from pyspark.sql import functions as F
+
+    from proxyfeatureextraction_spark.sources.checkpoint import run_resumable
+
+    src = str(tmp_path / "zsrc")
+    out = str(tmp_path / "zout")
+    transcripts_df.write.mode("overwrite").parquet(src)
+    run_resumable(spark, src, out, _builder)
+    parts = [
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith(f"{S.FOLDER}=")
+    ]
+    victim = sorted(parts)[0]
+
+    # input change: the victim partition disappears from the source
+    transcripts_df.filter(F.col(S.FOLDER) != victim).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def empty_builder(raw):
+        return _builder(raw).limit(0)
+
+    # a builder returning zero rows for everything: stale partitions
+    # must end up with zero manifested rows, not their old data
+    run_resumable(spark, src, out, empty_builder)
+    mdir = os.path.join(out, "_manifests")
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as fh:
+            m = json.load(fh)
+        if m["partition"] != victim:
+            assert m["rows"] == 0, f"stale data re-manifested for {m['partition']}"

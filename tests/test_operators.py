@@ -200,3 +200,53 @@ def test_map_whole_groups_small_batches(spark, transcripts_df, transcripts_pdf):
         assert out.set_index(S.CONV)["n"].to_dict() == exp.to_dict()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
+def test_asof_tolerance_tracks_value_row_not_feed_liveness(spark):
+    """Review regression: a newer right row carrying NULL must not
+    refresh the staleness clock of an older value — each value column's
+    tolerance is measured against the row that value came from."""
+    from proxyfeatureextraction_spark.operators import asof
+
+    left = spark.createDataFrame([("k", 101.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("k", 0.0, 5.0), ("k", 100.0, None)], "k string, ts double, v double"
+    )
+    out = asof.asof_join(
+        left, right, ts_col="ts", by=["k"], value_cols=["v"], tolerance=10.0
+    ).collect()[0]
+    assert out["v_asof"] is None  # the only in-tolerance row carried NULL
+
+    # without tolerance the backfilled value is still the old 5.0
+    out2 = asof.asof_join(
+        left, right, ts_col="ts", by=["k"], value_cols=["v"]
+    ).collect()[0]
+    assert out2["v_asof"] == 5.0
+
+
+def test_asof_duplicate_ts_ties_resolve_deterministically(spark):
+    from proxyfeatureextraction_spark.operators import asof
+
+    left = spark.createDataFrame([("k", 100.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("k", 100.0, 1.0), ("k", 100.0, 2.0)], "k string, ts double, v double"
+    )
+    vals = {
+        asof.asof_join(
+            left.repartition(n), right.repartition(5 - n),
+            ts_col="ts", by=["k"], value_cols=["v"],
+        ).collect()[0]["v_asof"]
+        for n in (1, 2, 3)
+    }
+    assert vals == {2.0}  # greatest value wins the tie, every time
+
+
+def test_interval_join_rejects_outer_how(spark):
+    import pytest as _pytest
+
+    from proxyfeatureextraction_spark.operators import asof
+
+    spans = spark.createDataFrame([(1, 0.0, 10.0)], "sid long, s double, e double")
+    points = spark.createDataFrame([(5.0,)], "t double")
+    with _pytest.raises(ValueError, match="inner"):
+        asof.interval_join(spans, points, "t", "s", "e", how="left")

@@ -166,3 +166,31 @@ def test_blocked_plan_has_no_unbounded_conv_window(spark, derived):
         if "_blk" not in frame:
             # conv-only windows are allowed ONLY over carry aggregates
             assert "_n" in frame or "_b" in frame or "_rclose" in frame or "_blk" in frame
+
+
+def test_blocked_keeps_null_role_rows(spark):
+    """Review regression: the blocked path's per-role carry join must
+    not drop NULL-role rows — the plain window path groups NULL roles
+    together, and the two paths must agree row-for-row."""
+    rows = [
+        ("a", 0, "user", "aaaa", None, 0.0),
+        ("a", 1, None, "bb", None, 10.0),
+        ("a", 2, None, "cc", None, 20.0),
+        ("a", 3, "user", "dddd", None, 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_sec double"
+    )
+    d = df.selectExpr(
+        "conv_id", "turn_idx", "timestamp(ts_sec) AS ts", "ts_sec", "role", "tool",
+        "CASE WHEN role = 'user' THEN 1 ELSE -1 END AS dir",
+        "length(text) AS n_chars",
+    )
+    plain = _collect(pit_features(d, session_gap_s=300.0, roll_rows=3))
+    assert len(plain) == 4
+    for br in (1, 2, 100):
+        blocked = _collect(
+            pit_features_blocked(d, session_gap_s=300.0, roll_rows=3, block_rows=br)
+        )
+        assert len(blocked) == 4, f"block_rows={br} dropped null-role rows"
+        pd.testing.assert_frame_equal(plain, blocked)

@@ -5,6 +5,8 @@ spans many blocks."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
 
 from proxyfeatureextraction_spark import schema as S
 from proxyfeatureextraction_spark.operators import skew, windows
@@ -106,3 +108,63 @@ def test_salted_join_spreads_hot_key(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
     assert out.count() == 4000
+
+
+def test_salted_join_keeps_null_salt_rows(spark):
+    """Review regression: a NULL salt_col row must survive the salted
+    join exactly like the plain join (pmod(NULL) previously never
+    matched the replicated dim side)."""
+    from proxyfeatureextraction_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [("k1", 1, 10.0), ("k1", None, 20.0)],
+        "conv_id string, turn_idx int, v double",
+    )
+    dim = spark.createDataFrame([("k1", "d")], "conv_id string, tag string")
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, key="conv_id", salt=4,
+                          salt_col="turn_idx", how=how)
+        exp = fact.join(dim, "conv_id", how)
+        assert got.count() == exp.count() == 2
+        assert got.filter(F.col("tag").isNull()).count() == 0
+
+
+def test_blocked_prefix_sum_all_null_block_matches_plain(spark):
+    """Review regression: a block whose prefix is all-NULL must carry
+    the previous blocks' sum, exactly like the plain window path."""
+    from proxyfeatureextraction_spark.operators.skew import blocked_prefix_sum
+    from proxyfeatureextraction_spark.operators.windows import prefix_sum
+
+    rows = [("c", i, v) for i, v in enumerate([1.0, 1.0, 1.0, None, None, None, 2.0])]
+    rows += [("d", i, v) for i, v in enumerate([None, None, 5.0])]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, val double")
+    got = (
+        blocked_prefix_sum(df, "val", "cum", block_rows=3)
+        .select("conv_id", "turn_idx", "cum")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        prefix_sum(df, "val", "cum", order_cols=("turn_idx",))
+        .select("conv_id", "turn_idx", "cum")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+
+
+def test_salted_stats_all_null_key_keeps_null_variance(spark):
+    """Review regression: an all-NULL key must report NULL var/std like
+    the plain F.var_pop oracle, not 0.0."""
+    from proxyfeatureextraction_spark.operators.skew import salted_stats
+
+    df = spark.createDataFrame(
+        [("c1", 1, None), ("c1", 2, None), ("c2", 1, 3.0)],
+        "conv_id string, turn_idx int, v double",
+    )
+    out = salted_stats(df, "v", salt=4, key="conv_id").toPandas().set_index("conv_id")
+    assert out.loc["c1", "count"] == 0
+    assert pd.isna(out.loc["c1", "var_pop"]) and pd.isna(out.loc["c1", "std_pop"])
+    assert out.loc["c2", "var_pop"] == 0.0
