@@ -50,8 +50,13 @@ def corr_features(
     # ONE pre-aggregate feeds both the bin table and the span table —
     # the expensive gated-first-K window pass over the full data runs
     # once. conn_pre is bounded (≤ pkt_limit rows per conversation), so
-    # persisting it is cheap and breaks the recompute diamond (its two
-    # consumers prune different columns, which defeats exchange reuse).
+    # materializing it is cheap and breaks the recompute diamond (its
+    # two consumers prune different columns, which defeats exchange
+    # reuse). localCheckpoint, NOT persist: persisted plans pin cache
+    # entries in the CacheManager for the application lifetime (a
+    # long-lived driver calling this per batch would leak executor
+    # storage), while checkpoint blocks are released by the
+    # ContextCleaner once the DataFrame is unreferenced.
     conn_pre = (
         sliced.groupBy(S.CONV, "_bin")
         .agg(
@@ -59,7 +64,7 @@ def corr_features(
             F.min(S.TS_SEC).alias("_bmin"),
             F.max(S.TS_SEC).alias("_bmax"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     conn_bins = conn_pre.select(S.CONV, "_bin", "rl_len")
     spans = conn_pre.groupBy(S.CONV).agg(

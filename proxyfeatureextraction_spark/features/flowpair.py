@@ -14,7 +14,7 @@ tensors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from proxyfeatureextraction_spark import schema as S
@@ -42,14 +42,10 @@ def flow_pairs(
     +1 iff the turn's role equals the conversation's first role.
     """
     sliced = gated_first_k(derived, k)
-    first_role = F.first(S.ROLE).over(
-        Window.partitionBy(S.CONV)
-        .orderBy(S.TURN, S.TS)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # shared first-sender rule (schema.dir_from_first_role) — a private
+    # copy here could drift from the SLT side's direction convention
     sliced = sliced.withColumn(
-        "_fdir",
-        F.when(F.col(S.ROLE) == first_role, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        "_fdir", S.dir_from_first_role().cast("double")
     )
     triple = F.struct(
         F.col(S.TURN).alias("o"),
@@ -97,7 +93,9 @@ def flow_pairs(
             F.count(F.lit(1)).alias("n_gw"),
         )
         .withColumn(
-            "gw_flow", _pad_rows(F.slice(F.transform("_grows", lambda r: r["v"]), 1, k), k)
+            # _pad_rows slices to k itself (same as the flow column) —
+            # no pre-slice needed
+            "gw_flow", _pad_rows(F.transform("_grows", lambda r: r["v"]), k)
         )
         .drop("_grows")
     )

@@ -95,9 +95,15 @@ def hayes_matrix_batch(pdf: pd.DataFrame, k: int, columns: list[str]) -> pd.Data
     n_in = mi.sum(axis=1)
     n_out = mo.sum(axis=1)
 
-    # direction-masked times: rows are time-sorted, so NaN-sort keeps order
-    tin = np.sort(np.where(mi, ts, np.nan), axis=1)
-    tout = np.sort(np.where(mo, ts, np.nan), axis=1)
+    # direction-masked times compacted in ROW order (stable argsort on
+    # the mask; NaN pads move to the tail). np.sort would VALUE-order
+    # the timestamps, which equals row order only for monotone rows —
+    # the loop kernel (ts[mi] → np.diff) diffs in row order, and the
+    # two kernels must agree on out-of-order timestamps too
+    order_in = np.argsort(~mi, axis=1, kind="stable")
+    order_out = np.argsort(~mo, axis=1, kind="stable")
+    tin = np.take_along_axis(np.where(mi, ts, np.nan), order_in, axis=1)
+    tout = np.take_along_axis(np.where(mo, ts, np.nan), order_out, axis=1)
 
     din = np.diff(tin, axis=1)
     dout = np.diff(tout, axis=1)
@@ -119,15 +125,19 @@ def hayes_matrix_batch(pdf: pd.DataFrame, k: int, columns: list[str]) -> pd.Data
          zi(in_std), zo(out_std), zt(al_std), zi(in_p75), zo(out_p75), zt(al_p75)]
     )
 
-    # time-percentile block (only its row-sum is emitted — Q1)
-    t0 = ts[:, 0]
+    # time-percentile block (only its row-sum is emitted — Q1).
+    # t0 is the row MIN (loop kernel: ts.min()), equal to ts[:, 0] only
+    # for monotone rows; percentiles are order-insensitive, so each rel
+    # block is value-sorted before the positional interpolation
+    t0 = ts.min(axis=1)
     rel_in = tin - t0[:, None]
     rel_out = tout - t0[:, None]
     rel_all = ts - t0[:, None]
     ts_blocks = []
     for rel, cnt in ((rel_in, n_in), (rel_out, n_out), (rel_all, np.full(c, k))):
+        rel_sorted = np.sort(rel, axis=1)  # NaN pads stay at the tail
         for q in (25, 50, 75, 100):
-            v = _row_percentile(rel, cnt, q)
+            v = _row_percentile(rel_sorted, cnt, q)
             ts_blocks.append(np.where(cnt >= 1, v, 0.0))
     timestats_sum = np.sum(np.column_stack(ts_blocks), axis=1)
 

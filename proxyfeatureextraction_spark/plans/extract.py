@@ -35,28 +35,13 @@ HOST_SLICE_COLS = [
 
 
 def _host_slice_stats(pdf: pd.DataFrame, gw: bool) -> pd.DataFrame:
-    from proxyfeatureextraction_spark.features.host import STAT_ORDER, _side_stats
+    """The SHARED host slice kernel (features/host._slice_kernel) under
+    the fused plan's published column names (host._RENAME) — one kernel
+    body, so a slice-stat semantics fix can never leave the fused plan
+    and the standalone extractor disagreeing."""
+    from proxyfeatureextraction_spark.features.host import _RENAME, _slice_kernel
 
-    conv = pdf[S.CONV]
-    all_convs = pd.Index(conv.unique())
-    g = pdf[S.TS_SEC].groupby(conv)
-    span = g.max() - g.min()
-    n = g.size()
-    rate = (n / span.where(span > 0)).fillna(0.0)
-    sent_mask = (pdf[S.DIR] == 1) if not gw else (pdf[S.DIR] == -1)
-    vals = pdf[S.N_CHARS].astype(float)
-    total = _side_stats(conv, vals, all_convs, "vol")
-    sent = _side_stats(conv[sent_mask], vals[sent_mask], all_convs, "sent")
-    recv = _side_stats(conv[~sent_mask], vals[~sent_mask], all_convs, "recv")
-    out = pd.concat([rate.rename("pkts_rate").reindex(all_convs), total, sent, recv], axis=1)
-    rename = {
-        **{f"{s}_vol": f"{s}_vol_total_pkts" for s in STAT_ORDER},
-        **{f"{s}_sent": f"{s}_bytes_sent" for s in STAT_ORDER},
-        **{f"{s}_recv": f"{s}_bytes_recv" for s in STAT_ORDER},
-    }
-    out = out.rename(columns=rename)
-    out.insert(0, S.CONV, all_convs)
-    return out.reset_index(drop=True)
+    return _slice_kernel(gw)(pdf).rename(columns=_RENAME)
 
 
 def fused_slice_features(

@@ -82,6 +82,17 @@ def dir_from_first_role(order_cols=(TURN, TS)) -> F.Column:
     return F.when(F.col(ROLE) == first_role, F.lit(1)).otherwise(F.lit(-1))
 
 
+def with_basic_derived(df: DataFrame) -> DataFrame:
+    """``n_chars`` + ``dir`` only — the stream-safe subset of
+    ``with_derived`` (``ts_sec`` needs a per-scope min, which an
+    unbounded stream cannot provide). Shared by the batch path and
+    ``streaming.stream_features`` so the direction rule can never
+    drift between them."""
+    return df.withColumn(N_CHARS, F.coalesce(F.length(TEXT), F.lit(0))).withColumn(
+        DIR, dir_from_role()
+    )
+
+
 def with_derived(df: DataFrame, ts_scope: str = FOLDER) -> DataFrame:
     """Attach the derived numeric columns every feature kernel consumes.
 
@@ -96,9 +107,7 @@ def with_derived(df: DataFrame, ts_scope: str = FOLDER) -> DataFrame:
     over the full table, which would shuffle 100 TB for a per-folder
     scalar.
     """
-    out = df.withColumn(N_CHARS, F.coalesce(F.length(TEXT), F.lit(0))).withColumn(
-        DIR, dir_from_role()
-    )
+    out = with_basic_derived(df)
     # subtract in integer microseconds BEFORE going to double: a direct
     # double cast at epoch magnitude only resolves ~2.4e-7 s and the
     # subtraction amplifies that into feature-level error

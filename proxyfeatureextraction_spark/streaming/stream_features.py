@@ -29,9 +29,9 @@ def stream_transcripts(spark: SparkSession, path: str, max_files: int = 16) -> D
 
 
 def _derived(stream: DataFrame) -> DataFrame:
-    return stream.withColumn(S.N_CHARS, F.coalesce(F.length(S.TEXT), F.lit(0))).withColumn(
-        S.DIR, F.when(F.col(S.ROLE) == "user", F.lit(1)).otherwise(F.lit(-1))
-    )
+    # shared with the batch path (schema.with_basic_derived) so the
+    # direction / n_chars rules cannot drift between batch and stream
+    return S.with_basic_derived(stream)
 
 
 def tumbling_turn_stats(

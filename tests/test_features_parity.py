@@ -106,3 +106,36 @@ def test_empty_input(spark, derived):
     assert host_features(empty).count() == 0
     gw = derived.select(S.TS_SEC, S.N_CHARS)
     assert corr_features(empty, gw).count() == 0
+
+
+def test_hayes_matrix_kernel_row_order_semantics_nonmonotone_ts():
+    """Review regression: the (C, K)-matrix kernel must equal the loop
+    kernel on conversations whose canonical (turn_idx) order is NOT
+    time-monotone — the loop kernel diffs direction times in ROW order
+    and anchors percentiles at ts.min(); a value-sorting matrix kernel
+    silently disagreed on such rows."""
+    from proxyfeatureextraction_spark.features.hayes_vec import hayes_matrix_batch
+    from proxyfeatureextraction_spark.features.kernels import hayes_vector
+    from proxyfeatureextraction_spark.features.names import HAYES_NAMES
+
+    rng = np.random.default_rng(7)
+    k = 20
+    rows = []
+    for conv in ("x", "y", "z"):
+        ts = np.round(rng.uniform(0, 30, size=k), 3)  # deliberately unsorted
+        if conv == "y":
+            ts = np.sort(ts)  # one monotone control conversation
+        dr = rng.choice([-1, 1], size=k)
+        for i in range(k):
+            rows.append((conv, float(ts[i]), int(dr[i])))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts_sec", "dir"])
+    got = hayes_matrix_batch(pdf, k=k, columns=HAYES_NAMES).set_index("conv_id")
+    for conv, grp in pdf.groupby("conv_id", sort=False):
+        exp = hayes_vector(
+            grp["ts_sec"].to_numpy(), grp["dir"].to_numpy(), None
+        )
+        np.testing.assert_allclose(
+            got.loc[conv, HAYES_NAMES].to_numpy(dtype=float), exp,
+            atol=ATOL, equal_nan=True,
+            err_msg=f"matrix kernel diverges from loop kernel for {conv}",
+        )
