@@ -207,6 +207,9 @@ def vector_batch(
     columns: list[str] | None = None,
 ) -> pd.DataFrame:
     """Apply a per-conv vector kernel across a sorted batch."""
+    if pdf.empty:  # _group_bounds would index into an empty array
+        cols = columns or [f"{out_prefix}{i}" for i in range(n_out)]
+        return pd.DataFrame(columns=["conv_id", *cols])
     conv = pdf["conv_id"].to_numpy()
     ts = pdf["ts_sec"].to_numpy(dtype=float)
     dr = pdf["dir"].to_numpy(dtype=np.int64)

@@ -209,8 +209,16 @@ def jaccard_pairs(
     id_map = spark.createDataFrame(
         pd.DataFrame({"sig": corpus["sig"], "set_id": np.arange(len(corpus), dtype=np.int64)})
     )
-    doc_sets = docs.select("doc_id", "sig").join(F.broadcast(id_map), "sig").select(
-        "doc_id", "set_id"
+    # checkpoint the NARROW (doc_id, set_id) mapping (two longs/row):
+    # it feeds BOTH sides of the re-expansion join below, and without
+    # materialization the upstream docs projection (text split/sort,
+    # possibly an expensive normalize lineage) would be recomputed per
+    # side. ContextCleaner releases the blocks when unreferenced.
+    doc_sets = (
+        docs.select("doc_id", "sig")
+        .join(F.broadcast(id_map), "sig")
+        .select("doc_id", "set_id")
+        .localCheckpoint(eager=False)
     )
 
     # kernel row-chunking: at the guard ceiling (200k sets × 500k vocab)
@@ -286,8 +294,13 @@ def jaccard_pairs_scalable(
     bands: int = 8,
     max_bucket: int | None = 5_000,
     shingle: int | None = None,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Unbounded-corpus near-dup pairs: LSH candidates, EXACT verify.
+
+    ``flag_col`` passes through to the candidate step's asymmetric
+    band join (only pairs touching a flagged doc survive — the
+    incremental-dedup shape); the exact verify is unchanged.
 
     ``shingle=n`` runs the WHOLE route on word n-gram shingles —
     candidates from shingle minhash, exact verify on shingle-set
@@ -311,6 +324,7 @@ def jaccard_pairs_scalable(
     cands = minhash_lsh_candidates(
         df, n_perm=n_perm, bands=bands, id_col=id_col,
         text_col=text_col, max_bucket=max_bucket, shingle=shingle,
+        flag_col=flag_col,
     )
     if shingle is None:
         set_col = F.filter(
@@ -538,10 +552,26 @@ def winnow_pairs(
 
 def _simhash_col(df: DataFrame, bits: int, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash): sign-of-sum over ±1 word-hash bits — the
-    shared core of ``simhash_buckets`` and ``simhash_candidates``."""
-    w = _words(df, id_col, text_col).withColumn("_g", _perm(portable_word_hash("w"), 97))
+    shared core of ``simhash_buckets`` and ``simhash_candidates``.
+
+    The portable word hash is mod 1e9+7, so ONE generator supplies only
+    30 usable bits — bits 30+ of a single value are constant 0, which
+    would silently make high simhash bits all-agree (and, in the
+    hamming candidates, let the hot-block cap drop the degenerate block
+    and break the full-recall guarantee). Wider simhashes therefore
+    draw bit ``i`` from generator ``i // 30`` — an independent affine
+    permutation of the word hash, the same family the minhash
+    signatures use (perm indices 97, 98, …)."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"simhash bits must be in [1, 63], got {bits}")
+    w = _words(df, id_col, text_col).withColumn("_h", portable_word_hash("w"))
+    n_gen = (bits + 29) // 30
+    for j in range(n_gen):
+        w = w.withColumn(f"_g{j}", _perm(F.col("_h"), 97 + j))
     bit_cols = [
-        F.when(F.shiftright(F.col("_g"), i).bitwiseAND(F.lit(1)) == 1, 1)
+        F.when(
+            F.shiftright(F.col(f"_g{i // 30}"), i % 30).bitwiseAND(F.lit(1)) == 1, 1
+        )
         .otherwise(-1)
         .alias(f"b{i}")
         for i in range(bits)
@@ -606,6 +636,12 @@ def simhash_candidates(
     precision, fully distributed; ``max_bucket`` is the usual hot-block
     cap (a block value shared by a huge fraction of the corpus carries
     no locality)."""
+    if max_hamming < 0 or max_hamming + 1 > bits:
+        raise ValueError(
+            f"max_hamming + 1 ({max_hamming + 1}) blocks must each be at "
+            f"least one bit wide — got bits={bits}; the pigeonhole argument "
+            f"(and hence full recall) fails with zero-width blocks."
+        )
     sim = _simhash_col(df, bits, id_col, text_col)
     blocks = simhash_block_bounds(bits, max_hamming)
     bands = sim.select(
@@ -700,6 +736,12 @@ def dedup_corpus(
     rep_docs = reps.select("doc_id", F.col("_t").alias("text"))
     if method not in ("auto", "exact", "scalable"):
         raise ValueError(method)
+    if method == "exact" and shingle is not None:
+        raise ValueError(
+            "method='exact' has no shingle route (jaccard_pairs is word-set "
+            "only): use method='auto'/'scalable' for n-gram dedup, whose LSH "
+            "recall is the documented trade."
+        )
     if method in ("auto", "exact") and shingle is None:
         try:
             near = jaccard_pairs(rep_docs, threshold=threshold)
@@ -796,23 +838,13 @@ def dedup_incremental(
             if method == "exact":
                 raise
     if near is None:
-        cands = minhash_lsh_candidates(
-            rep_docs, n_perm=n_perm, bands=bands, flag_col="_new"
-        )
-        a = rep_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
-        b = rep_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
-        wa = F.filter(F.split("_ta", " "), lambda w: F.length(w) > 0)
-        wb = F.filter(F.split("_tb", " "), lambda w: F.length(w) > 0)
-        inter = F.size(F.array_intersect(F.array_distinct(wa), F.array_distinct(wb)))
-        uni = F.size(F.array_union(wa, wb))
-        near = (
-            cands.join(a, "doc_a").join(b, "doc_b")
-            .filter(
-                F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
-                >= threshold
-            )
-            .select("doc_a", "doc_b")
-        )
+        # ONE verify path: the scalable route with the asymmetric flag
+        # (an inline twin of its candidate→verify join had already
+        # started to drift before this was consolidated)
+        near = jaccard_pairs_scalable(
+            rep_docs, threshold=threshold, n_perm=n_perm, bands=bands,
+            flag_col="_new",
+        ).select("doc_a", "doc_b")
     edges = exact_edges.unionByName(near)
     assign = dedup_clusters(edges, nodes=union.select("doc_id"), max_iter=max_iter)
     flagged = assign.join(union.select("doc_id", "_new"), "doc_id")

@@ -67,6 +67,14 @@ def _normalized_matrix(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize, mapping zero-norm rows to zero rows instead of
+    0/0 → NaN (a zero embedding then scores cosine 0 against everything
+    rather than NaN — which Spark's desc ordering would rank FIRST)."""
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0, 1.0, norms)
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     k: int = 5,
@@ -106,8 +114,10 @@ def cosine_topk_bruteforce(
                 f"re-rank — instead."
             )
     cand_pdf = base.toPandas()
+    if cand_pdf.empty:  # same empty contract as the LSH/IVF paths
+        return spark.createDataFrame([], TOPK_SCHEMA)
     cand_ids, cand = _normalized_matrix(cand_pdf)
-    cand_norm = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+    cand_norm = _unit_rows(cand)
     b_ids = spark.sparkContext.broadcast(cand_ids)
     b_mat = spark.sparkContext.broadcast(cand_norm)
 
@@ -117,7 +127,7 @@ def cosine_topk_bruteforce(
             if pdf.empty:
                 continue
             q_ids, q = _normalized_matrix(pdf)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qn = _unit_rows(q)
             sims = qn @ mat.T  # (batch, n_candidates) — one BLAS call
             if round_digits is not None:
                 sims = np.round(sims, round_digits)
@@ -153,6 +163,7 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     max_bucket: int | None = 50_000,
     chunk_rows: int = 1_024,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -199,7 +210,8 @@ def cosine_topk_lsh(
         ),
     )
 
-    return _bucketed_topk(bucketed, k, max_bucket=max_bucket, chunk_rows=chunk_rows)
+    return _bucketed_topk(bucketed, k, max_bucket=max_bucket, chunk_rows=chunk_rows,
+                          round_digits=round_digits)
 
 
 def _bucketed_topk(
@@ -207,6 +219,7 @@ def _bucketed_topk(
     k: int,
     max_bucket: int | None = 50_000,
     chunk_rows: int = 1_024,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Shared ANN tail: exact-cosine re-rank inside each bucket/cell
     (Arrow grouped-map), then a global per-vector merge of the best k
@@ -234,13 +247,13 @@ def _bucketed_topk(
                 {"vec_id": [], "neighbor": [], "cosine": [], "rk": []}
             ).astype({"vec_id": "int64", "neighbor": "int64", "cosine": "float64", "rk": "int32"})
         ids, m = _normalized_matrix(pdf)
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        mn = _unit_rows(m)
         n = len(ids)
         kk = min(k, n - 1)
         out_vec, out_nbr, out_cos = [], [], []
         for i0 in range(0, n, chunk_rows):
             i1 = min(i0 + chunk_rows, n)
-            sims = np.round(mn[i0:i1] @ mn.T, 6)  # (chunk, n) — bounded
+            sims = np.round(mn[i0:i1] @ mn.T, round_digits)  # (chunk, n) — bounded
             sims[np.arange(i1 - i0), np.arange(i0, i1)] = -np.inf  # self
             for j in range(i1 - i0):
                 order = np.lexsort((ids, -sims[j]))[:kk]
@@ -320,6 +333,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     max_bucket: int | None = 50_000,
     chunk_rows: int = 1_024,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: IVF (inverted-file) cell search.
 
@@ -359,7 +373,7 @@ def cosine_topk_ivf(
     if cent_pdf.empty:
         return base.sparkSession.createDataFrame([], TOPK_SCHEMA)
     _, cmat = _normalized_matrix(cent_pdf)
-    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn = _unit_rows(cmat)
     b_cent = base.sparkSession.sparkContext.broadcast(cn)
     probe = min(n_probe, len(cent_pdf))
 
@@ -369,10 +383,10 @@ def cosine_topk_ivf(
             if pdf.empty:
                 continue
             ids, m = _normalized_matrix(pdf)
-            qn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            qn = _unit_rows(m)
             # rounded before ranking so the SQL oracle's independently
             # computed cosines rank cells identically
-            cos = np.round(qn @ cn_.T, 6)  # (batch, n_cells)
+            cos = np.round(qn @ cn_.T, round_digits)  # (batch, n_cells)
             # top-P cells, ties to the lower cell id (lexsort tiebreak)
             cells = np.stack(
                 [np.lexsort((np.arange(cn_.shape[0]), -cos[i]))[:probe] for i in range(len(ids))]
@@ -395,4 +409,5 @@ def cosine_topk_ivf(
             ]
         ),
     )
-    return _bucketed_topk(assigned, k, max_bucket=max_bucket, chunk_rows=chunk_rows)
+    return _bucketed_topk(assigned, k, max_bucket=max_bucket, chunk_rows=chunk_rows,
+                          round_digits=round_digits)

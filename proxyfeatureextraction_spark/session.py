@@ -44,10 +44,14 @@ def get_spark(
     cpus = DEFAULT_CPUS
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → machine cores
+        # local[N] → N; local[*] → the actual machine cores (which is
+        # what local[*] launches — NOT the DEFAULT_CPUS env fallback)
         if master.startswith("local["):
             inner = master[len("local[") : -1]
-            shuffle_partitions = cpus if inner == "*" else int(inner)
+            if inner == "*":
+                shuffle_partitions = os.cpu_count() or cpus
+            else:
+                shuffle_partitions = int(inner)
         else:
             shuffle_partitions = 200
     builder = (

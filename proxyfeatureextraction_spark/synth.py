@@ -97,6 +97,11 @@ def synth_transcripts_pdf(
     role[tool_turn] = "tool"
     single_role = np.repeat((np.arange(n_convs) % 37) == 8, counts)
     role[single_role] = "user"
+    # a single-role conv has no tool turns left — clear the mask so the
+    # fixture can't emit user rows carrying tool values (a state no
+    # real transcript produces; it was polluting the single-role branch
+    # these convs exist to exercise)
+    tool_turn &= ~single_role
 
     tool = np.where(
         tool_turn, np.where(rng.random(total) < 0.5, "search", "exec"), None

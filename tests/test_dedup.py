@@ -556,3 +556,62 @@ def test_winnow_fingerprints_order_sensitive_and_short_doc_fallback(spark):
     assert set(out[1]) != set(out[2])  # order matters, unlike word-set jaccard
     assert len(out[3]) == 1            # short-doc fallback: one whole-text hash
     assert out[4] == []
+
+
+def test_simhash_wide_bits_not_degenerate_and_validated(spark):
+    """Review regression: the portable hash supplies 30 bits per
+    generator — wider simhashes must draw high bits from additional
+    permutations (a single generator left bits 30+ constant, which the
+    hot-block cap could silently drop). Also pins the zero-width-block
+    and bits-range validation."""
+    from proxyfeatureextraction_spark.operators.dedup import (
+        _simhash_col,
+        simhash_candidates,
+        simhash_buckets,
+    )
+
+    rows = [(i, " ".join(f"w{(i * 13 + j) % 97}" for j in range(12))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = _simhash_col(df, 48, "doc_id", "text").toPandas()
+    high = sim["simhash"].to_numpy() >> 30  # the formerly-constant range
+    assert len(set(high.tolist())) > 1, "bits 30+ are degenerate"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="blocks"):
+        simhash_candidates(df, bits=2, max_hamming=2)
+    with _pytest.raises(ValueError, match=r"\[1, 63\]"):
+        simhash_buckets(df, bits=64)
+
+
+def test_simhash_hamming_full_recall_wide_bits(spark):
+    """Brute-force recall check at bits=45 (multi-generator range)."""
+    from proxyfeatureextraction_spark.operators.dedup import (
+        _simhash_col,
+        simhash_candidates,
+    )
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 31}" for j in range(10))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = {r.doc_id: r.simhash for r in _simhash_col(df, 45, "doc_id", "text").collect()}
+    expected = {
+        (a, b)
+        for a in sim
+        for b in sim
+        if a < b and bin(sim[a] ^ sim[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidates(df, bits=45, max_hamming=3).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_corpus_rejects_exact_with_shingle(spark):
+    import pytest as _pytest
+
+    from proxyfeatureextraction_spark.operators.dedup import dedup_corpus
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="shingle"):
+        dedup_corpus(df, method="exact", shingle=3)

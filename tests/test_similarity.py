@@ -208,3 +208,33 @@ def test_quantize_embeddings_roundtrip_and_top1_agreement(spark, emb):
 
     agree = (top1(F_) == top1(D_)).mean()
     assert agree >= 0.9
+
+
+def test_zero_norm_embeddings_never_produce_nan(spark):
+    """Review regression: an all-zero embedding must score cosine 0
+    (not NaN, which Spark's desc ordering ranks FIRST) on every path."""
+    import numpy as np
+
+    from proxyfeatureextraction_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    rows = [(i, [float((i + j) % 5) for j in range(8)]) for i in range(1, 20)]
+    rows.append((0, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for fn in (cosine_topk_bruteforce, cosine_topk_lsh, cosine_topk_ivf):
+        pdf = fn(df, k=3).toPandas()
+        assert not pdf["cosine"].isna().any(), fn.__name__
+        zero_rows = pdf[pdf["vec_id"] == 0]
+        assert (zero_rows["cosine"] <= 0.0 + 1e-9).all(), fn.__name__
+
+
+def test_bruteforce_empty_input_returns_empty(spark):
+    from proxyfeatureextraction_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_topk_bruteforce(empty, k=3).count() == 0

@@ -42,3 +42,14 @@ def test_with_derived(spark, transcripts_df, transcripts_pdf):
     g = out.groupby(S.FOLDER)[S.TS_SEC].min()
     assert np.allclose(g.values, 0.0)
     assert len(out) == len(transcripts_pdf)
+
+
+def test_single_role_convs_carry_no_tool_values(transcripts_pdf):
+    """Review regression: the single-role overwrite must also clear the
+    tool mask — user turns with tool set are a state no real transcript
+    produces."""
+    per_conv = transcripts_pdf.groupby("conv_id")["role"].nunique()
+    single = per_conv[per_conv == 1].index
+    sub = transcripts_pdf[transcripts_pdf["conv_id"].isin(single)]
+    assert len(sub) > 0  # the % 37 == 8 branch is exercised
+    assert sub["tool"].isna().all()
