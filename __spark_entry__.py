@@ -1089,8 +1089,7 @@ def q_text_quality(spark, sf_dir):
             "stopword_ratio",
         ),
         _R6(
-            (F.length("text") - F.length(F.lower("text"))).cast("double") * 0
-            + F.size(F.filter(toks, lambda w: F.length(w) >= 8))
+            F.size(F.filter(toks, lambda w: F.length(w) >= 8))
             / F.greatest(nt.cast("double"), F.lit(1.0)),
             "long_token_ratio",
         ),
@@ -1808,6 +1807,12 @@ def oracle_sql() -> dict[str, str]:
         + """
         , p AS (SELECT user_id, event_id, tsec FROM ev WHERE event_type = 'purchase'),
         s AS (SELECT user_id, tsec, value AS signup_value FROM ev WHERE event_type = 'signup')
+        -- NB: DuckDB ASOF JOIN resolves right-side timestamp TIES
+        -- arbitrarily while the Spark side deterministically picks the
+        -- greatest value tuple; the event stream has microsecond-unique
+        -- (user_id, tsec) so no tie exists here — if this table ever
+        -- gains duplicate signup timestamps, switch to the LEFT JOIN +
+        -- QUALIFY row_number() (ORDER BY tsec DESC, value DESC) form.
         SELECT p.user_id, p.event_id, round(s.signup_value, 6) AS signup_value_asof
         FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.tsec >= s.tsec
         """,
@@ -1847,11 +1852,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rtt_pattern": _EVENTS_CTE
         + """
-        , l AS (SELECT user_id, tsec, dir,
+        , l AS (SELECT user_id, event_id, tsec, dir,
                        lead(dir, 1) OVER w AS d1, lead(dir, 2) OVER w AS d2,
                        lead(tsec, 1) OVER w AS t1, lead(tsec, 2) OVER w AS t2
                 FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
-        f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec) AS k
+        -- k's order carries the event_id tiebreak like the Spark window,
+        -- so equal-tsec triplet starts rank identically in both engines
+        f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS k
               FROM l WHERE d1 = -dir AND d2 = -dir),
         a AS (SELECT user_id, count(*) AS ntrip,
                      max(CASE WHEN k = 1 THEN t1 - tsec END) AS d1v,

@@ -97,7 +97,14 @@ def main(argv: list[str] | None = None) -> None:
             seed=args.seed,
         )
         packed.write.mode("overwrite").parquet(f"{args.output}/pack_plan")
-        summary["bins"] = packed.select("shard", "bin_id").distinct().count()
+        # count bins from the files just written — re-counting `packed`
+        # would re-execute the whole packing DAG a second time
+        summary["bins"] = (
+            spark.read.parquet(f"{args.output}/pack_plan")
+            .select("shard", "bin_id")
+            .distinct()
+            .count()
+        )
     labels.unpersist()
     print(json.dumps(summary))
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark.sql import functions as F
+
 from proxyfeatureextraction_spark import schema as S
 from proxyfeatureextraction_spark.session import get_spark
 from proxyfeatureextraction_spark.sources.checkpoint import run_resumable
@@ -41,8 +43,11 @@ def build(pkt_limit: int, gateway: bool, transforms: list[str], seed: int):
         d = with_derived(raw)
         gw = d.select(S.TS_SEC, S.N_CHARS) if gateway else None
         feats = extract_features(d, gw, pkt_limit=pkt_limit)
-        # carry the partition column for manifesting
-        folders = d.select(S.FOLDER, S.CONV).distinct()
+        # carry the partition column for manifesting — ONE folder per
+        # conv (min, deterministic): a distinct (folder, conv) pair list
+        # would duplicate every feature row of a conv that appears under
+        # two capture folders and double-count the partition manifests
+        folders = d.groupBy(S.CONV).agg(F.min(S.FOLDER).alias(S.FOLDER))
         return feats.drop(S.FOLDER).join(folders, S.CONV, "left")
 
     return _build

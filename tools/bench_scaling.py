@@ -4,8 +4,9 @@ Runs the north-star job — the point-in-time as-of + windowed feature
 surface (`plans.pit.pit_features`: backfilled lags, sessionize,
 rolling/per-role stats for every (conv_id, ts)) — on the SAME
 deterministic synthetic transcript input at two parallelism levels
-(local[8] vs local[32] = the sandbox stand-in for N vs 4N executors,
-per driver instruction) in separate JVMs, and writes BENCH/BASELINE.md.
+(local[N] vs local[4N]; defaults local[2] vs local[8] — the pairing
+inside this host's honest CPU budget, see the capacity-probe section of
+the generated file) in separate JVMs, and writes BENCH/BASELINE.md.
 
 The full five-family batch extraction is also timed once at the high
 level for context (its throughput is the bench.py headline; its stage

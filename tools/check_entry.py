@@ -65,7 +65,7 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
             ok = x.astype(str).fillna("∅").tolist() == y.astype(str).fillna("∅").tolist()
         if not ok:
             mism = (
-                (~np.isclose(x.astype(float), y.astype(float), atol=1e-9, equal_nan=True)).sum()
+                (~np.isclose(x.astype(float), y.astype(float), atol=1e-9, rtol=1e-9, equal_nan=True)).sum()
                 if pd.api.types.is_numeric_dtype(x)
                 else "?"
             )
@@ -98,7 +98,9 @@ def run(sf_dir: str, only: list[str] | None = None, spark=None) -> dict[str, lis
             results[name] = [f"spark error: {exc}"]
             continue
         if name not in oracles:
-            results[name] = [] if len(spark_pdf) >= 0 else ["no rows"]
+            # weaker rows-only check: an oracle-less query must at least
+            # produce rows (the >= 0 form was a dead always-true guard)
+            results[name] = [] if len(spark_pdf) > 0 else ["no rows"]
             print(f"{name:26s} rows-only ({len(spark_pdf)} rows)")
             continue
         try:
