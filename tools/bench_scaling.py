@@ -47,7 +47,10 @@ def pit_job():
     pit_features(with_derived(raw)).write.mode("overwrite").format("noop").save()
 
 def extract_job():
-    build_feature_table_from_df(spark, raw).count()
+    # noop sink, NOT count(): count() lets Catalyst prune value
+    # expressions and eliminate left joins to unique aggregates, so it
+    # under-measures the extraction (see BENCH/BASELINE.md round-3 note)
+    build_feature_table_from_df(spark, raw).write.mode("overwrite").format("noop").save()
 
 job = pit_job if {job!r} == "pit" else extract_job
 # warm: python workers, codegen, page cache (small slice + one full)
