@@ -219,6 +219,10 @@ scale. Reference comparison: the reference publishes no throughput
 numbers (BASELINE.md); its architecture is one OS process per capture
 folder with per-connection Python loops.
 
+See `BENCH/NOTES.md` for durable measurement notes (bench sink
+methodology, extra_queries cost structure, honest extraction profile) —
+that file is not regenerated by this tool.
+
 Caveat: single-host local-mode "cluster sizes" share one memory bus;
 both jobs use the identical shuffle-partitioned layout
 (`repartition(conv_id)` + sortWithinPartitions) that transfers
