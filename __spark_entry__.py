@@ -1557,57 +1557,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver's correctness gate verifies the FIRST 50 entries in dict
+    # order.  Round-4 rotation: the 21 queries that were past the cap in
+    # round 3 (never driver-verified, or fell out of the round-2 window)
+    # lead; gates whose implementation changed this round (the dedup
+    # digest-key family, corpus_report) stay inside the window; 21
+    # long-stable gates (TPC-H shapes, basic per-group kernels, text fns,
+    # similarity ANN, multimodal) rotate behind the cap and rotate back in
+    # round 5 so every query gets a driver-green row across two rounds.
     return {
-        "gate_counts": q_gate_counts,
-        "first_k": q_first_k,
-        "flow_pairs": q_flow_pairs,
-        "flow_pairs_arrays": q_flow_pairs_arrays,
-        "interarrival": q_interarrival,
-        "directional_counts": q_directional_counts,
-        "first_last_30": q_first_last_30,
-        "chunk_concentration": q_chunk_concentration,
-        "rate_series": q_rate_series,
-        "prefix_cumsum": q_prefix_cumsum,
-        "lag_lead": q_lag_lead,
-        "backfill": q_backfill,
-        "sessionize": q_sessionize,
-        "tumbling_global": q_tumbling_global,
-        "tumbling_keyed": q_tumbling_keyed,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "semi_anti": q_semi_anti,
-        "outer_align_zproduct": q_outer_align_zproduct,
-        "rtt_pattern": q_rtt_pattern,
-        "rolling_window": q_rolling_window,
-        "topk_per_group": q_topk_per_group,
-        "group_span": q_group_span,
-        "distinct_users": q_distinct_users,
-        "union_sources": q_union_sources,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "join_revenue": q_join_revenue,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_hamming": q_dedup_simhash_hamming,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "embedding_dup_clusters": q_embedding_dup_clusters,
-        "text_quality": q_text_quality,
-        "text_normalize": q_text_normalize,
-        "token_count_regex": q_token_count_regex,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_bytes": q_multimodal_bytes,
-        "multimodal_resize": q_multimodal_resize,
-        "pit_row_features": q_pit_row_features,
-        "pit_blocked": q_pit_blocked,
+        # -- round-3 over-cap queries: must get driver rows this round ----
         "asof_global": q_asof_global,
         "salted_stats": q_salted_stats,
         "dedup_survivors": q_dedup_survivors,
@@ -1629,6 +1588,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "profile_events": q_profile_events,
         "embedding_quantize": q_embedding_quantize,
+        # -- gates covering code changed this round (keep driver-green) ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
+        # -- north-rule core (PIT / as-of / windows): always in-window ----
+        "pit_row_features": q_pit_row_features,
+        "pit_blocked": q_pit_blocked,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "tumbling_keyed": q_tumbling_keyed,
+        "tumbling_global": q_tumbling_global,
+        "backfill": q_backfill,
+        "lag_lead": q_lag_lead,
+        "prefix_cumsum": q_prefix_cumsum,
+        "interarrival": q_interarrival,
+        "interval_join": q_interval_join,
+        "outer_align_zproduct": q_outer_align_zproduct,
+        "rtt_pattern": q_rtt_pattern,
+        "rolling_window": q_rolling_window,
+        "flow_pairs_arrays": q_flow_pairs_arrays,
+        "rate_series": q_rate_series,
+        "gate_counts": q_gate_counts,
+        "semi_anti": q_semi_anti,
+        "first_k": q_first_k,
+        "flow_pairs": q_flow_pairs,
+        # ---- entries below are past the driver's 50-entry window this ----
+        # ---- round (all driver-green in CORRECTNESS_r02/r03); they     ----
+        # ---- rotate back in round 5                                    ----
+        "directional_counts": q_directional_counts,
+        "first_last_30": q_first_last_30,
+        "chunk_concentration": q_chunk_concentration,
+        "topk_per_group": q_topk_per_group,
+        "group_span": q_group_span,
+        "distinct_users": q_distinct_users,
+        "union_sources": q_union_sources,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "join_revenue": q_join_revenue,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "text_quality": q_text_quality,
+        "text_normalize": q_text_normalize,
+        "token_count_regex": q_token_count_regex,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
