@@ -585,12 +585,13 @@ def q_join_revenue(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup by content hash-groupBy: survivors = min doc_id per
-    text; reports corpus-level dedup stats."""
+    """Exact dedup by content-digest groupBy (xxhash64 + sha2-256 keys —
+    the exchange never carries document text): survivors = min doc_id
+    per text; reports corpus-level dedup stats."""
+    from proxyfeatureextraction_spark.operators.dedup import exact_dedup
+
     d = _table(spark, sf_dir, "documents")
-    groups = d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
-    )
+    groups = exact_dedup(d, with_text=False)
     return groups.agg(
         F.count(F.lit(1)).alias("n_unique"),
         F.sum("copies").alias("n_docs"),

@@ -111,11 +111,44 @@ def _tokens(df: DataFrame, id_col: str, text_col: str, shingle: int | None) -> D
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per distinct content: survivor id + copy count."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("copies")
+def _digest(col) -> tuple[Column, Column]:
+    """(xxhash64, sha2-256) content digest pair used as a grouping key in
+    place of raw text. xxhash64 is the cheap 8-byte first compare; the
+    256-bit sha2 makes an accidental collision (two distinct texts in one
+    group) cryptographically implausible. NULL text digests to
+    (seed-constant, NULL), distinct from every real text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c), F.sha2(c, 256)
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_text: bool = True,
+) -> DataFrame:
+    """One row per distinct content: survivor id + copy count.
+
+    Scale shape: groups on the CONTENT DIGEST ``(xxhash64(text),
+    sha2(text, 256))`` — the aggregate exchange carries ~72-byte keys,
+    never document text (on a low-duplication 100 TB corpus a raw
+    ``groupBy(text)`` would shuffle near the whole corpus as multi-KB
+    sort/hash keys). The representative text is recovered afterwards by
+    one keep-id equi-join (8-byte long key, text rides as payload);
+    pass ``with_text=False`` to skip that join entirely and get the
+    narrow (keep_id, copies) result with zero text movement.
+    """
+    dh, ds = _digest(text_col)
+    groups = (
+        df.select(F.col(id_col), dh.alias("_dh"), ds.alias("_ds"))
+        .groupBy("_dh", "_ds")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("copies"))
+        .drop("_dh", "_ds")
     )
+    if not with_text:
+        return groups
+    rep_text = df.select(F.col(id_col).alias("keep_id"), F.col(text_col))
+    return groups.join(rep_text, "keep_id").select(text_col, "keep_id", "copies")
 
 
 def jaccard_pairs(
@@ -439,10 +472,25 @@ def minhash_lsh_candidates(
     """
     base = df
     if collapse_exact:
+        # digest-keyed collapse: the exchange groups on (xxhash64, sha2)
+        # of the text, never the text itself; representative rows are
+        # recovered by a keep-id equi-join (long key, text as payload)
+        dh, ds = _digest(text_col)
         aggs = [F.min(id_col).alias(id_col)]
         if flag_col is not None:
             aggs.append(F.max(F.col(flag_col).cast("int")).cast("boolean").alias(flag_col))
-        base = df.groupBy(text_col).agg(*aggs)
+        keep = (
+            df.select(
+                F.col(id_col),
+                dh.alias("_dh"),
+                ds.alias("_ds"),
+                *([F.col(flag_col)] if flag_col is not None else []),
+            )
+            .groupBy("_dh", "_ds")
+            .agg(*aggs)
+            .drop("_dh", "_ds")
+        )
+        base = keep.join(df.select(id_col, text_col), id_col)
     bands_df = band_signatures(
         base, n_perm=n_perm, bands=bands, id_col=id_col, text_col=text_col,
         shingle=shingle,
@@ -726,14 +774,24 @@ def dedup_corpus(
         if normalize
         else F.coalesce(F.col(text_col), F.lit(""))
     )
-    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("_t"))
-    reps = base.groupBy("_t").agg(F.min("doc_id").alias("doc_id"))
+    # digest-keyed exact step: group/join on (xxhash64, sha2) of the
+    # canonical text, never the text itself — the exchanges carry
+    # ~72-byte keys; representative text is recovered by a keep-id
+    # semi-join (long key) only for the near-dup stage's input
+    dh, ds = _digest("_t")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), norm.alias("_t")
+    ).withColumns({"_dh": dh, "_ds": ds})
+    reps = base.groupBy("_dh", "_ds").agg(F.min("doc_id").alias("_rep"))
     exact_edges = (
-        base.join(reps.withColumnRenamed("doc_id", "_rep"), "_t")
+        base.select("doc_id", "_dh", "_ds")
+        .join(reps, ["_dh", "_ds"])
         .filter(F.col("doc_id") != F.col("_rep"))
         .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    rep_docs = reps.select("doc_id", F.col("_t").alias("text"))
+    rep_docs = base.join(
+        reps.select(F.col("_rep").alias("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", F.col("_t").alias("text"))
     if method not in ("auto", "exact", "scalable"):
         raise ValueError(method)
     if method == "exact" and shingle is not None:
@@ -800,26 +858,36 @@ def dedup_incremental(
     old = corpus_df.select(
         F.col(id_col).alias("doc_id"), norm.alias("_t"), F.lit(False).alias("_new")
     )
-    union = new.unionByName(old)
+    dh, ds = _digest("_t")
+    union = new.unionByName(old).withColumns({"_dh": dh, "_ds": ds})
     # exact edges: doc → min-id rep per distinct normalized text, kept
     # when EITHER endpoint is new (the rep itself can be the new doc —
-    # e.g. a new id smaller than its corpus twin's id)
-    reps = union.groupBy("_t").agg(F.min("doc_id").alias("_rep"))
+    # e.g. a new id smaller than its corpus twin's id). All grouping /
+    # joining is on the (xxhash64, sha2) content digest, never raw text.
+    reps = union.groupBy("_dh", "_ds").agg(F.min("doc_id").alias("_rep"))
     rep_flag = union.select(
         F.col("doc_id").alias("_rep"), F.col("_new").alias("_rep_new")
     )
     exact_edges = (
-        union.join(reps, "_t")
+        union.select("doc_id", "_new", "_dh", "_ds")
+        .join(reps, ["_dh", "_ds"])
         .join(rep_flag, "_rep")
         .filter(
             (F.col("doc_id") != F.col("_rep")) & (F.col("_new") | F.col("_rep_new"))
         )
         .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    rep_docs = union.groupBy("_t").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.max(F.col("_new").cast("int")).cast("boolean").alias("_new"),
-    ).select("doc_id", F.col("_t").alias("text"), "_new")
+    # group stats on the digest; representative text recovered by one
+    # keep-id equi-join (long key, text as payload)
+    rep_docs = (
+        union.groupBy("_dh", "_ds")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.max(F.col("_new").cast("int")).cast("boolean").alias("_new"),
+        )
+        .join(union.select("doc_id", "_t"), "doc_id")
+        .select("doc_id", F.col("_t").alias("text"), "_new")
+    )
     if method not in ("auto", "exact", "scalable"):
         raise ValueError(method)
     near = None
