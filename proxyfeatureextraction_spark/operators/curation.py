@@ -367,28 +367,36 @@ def corpus_report(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    exact: bool = True,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Per-group corpus audit — the stats pass a pipeline runs before
     and after curation: doc count, distinct-text count, exact-dup
     rate, mean quality score, mean token count, total chars. One
     hash-partition aggregation; every metric is a plain distributed
-    agg (countDistinct shuffles (group, text) pairs — at 100 TB swap
-    in approx_count_distinct if ±2% is acceptable; exact is kept here
-    because the oracle compares values)."""
+    agg. Distinct texts are counted over the sha2-256 CONTENT DIGEST,
+    so even the exact path's distinct state carries 64-byte keys, never
+    document text; ``exact=False`` swaps in ``approx_count_distinct``
+    (HyperLogLog++, relative error ``rsd``) — constant per-group state,
+    the right call at 100 TB when ±2% is acceptable. The default stays
+    exact because the driver oracle compares values."""
     from proxyfeatureextraction_spark.functions.text import quality_score, token_count
 
     base = df.select(
         F.col(group_col).alias("grp"),
-        F.col(text_col).alias("text"),
+        F.sha2(F.col(text_col), 256).alias("_td"),
         quality_score(text_col).alias("_q"),
         token_count(text_col).cast("long").alias("_nt"),
         F.length(text_col).cast("long").alias("_nc"),
     )
+    nd = (
+        F.countDistinct("_td") if exact else F.approx_count_distinct("_td", rsd)
+    )
     return base.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_distinct"),
+        nd.alias("n_distinct"),
         F.round(
-            F.lit(1.0) - F.countDistinct("text") / F.count(F.lit(1)).cast("double"), 6
+            F.lit(1.0) - nd / F.count(F.lit(1)).cast("double"), 6
         ).alias("dup_rate"),
         F.round(F.avg("_q"), 6).alias("avg_quality"),
         F.round(F.avg("_nt"), 6).alias("avg_tokens"),

@@ -213,8 +213,8 @@ def jaccard_pairs(
         if max_sets is not None:
             if (
                 n_sets > max_sets
-                or n_vocab > (max_vocab or n_vocab)
-                or n_sets * n_vocab > (max_cells or n_sets * n_vocab)
+                or (max_vocab is not None and n_vocab > max_vocab)
+                or (max_cells is not None and n_sets * n_vocab > max_cells)
             ):
                 raise ValueError(
                     f"jaccard_pairs corpus exceeds the exact-baseline bound "
@@ -263,6 +263,12 @@ def jaccard_pairs(
 
     def run(batches):
         inc_, sizes_ = b_inc.value, b_sizes.value
+        # upcast the incidence transpose to int32 ONCE per task: numpy
+        # would otherwise cast the full int8 matrix to a fresh int32
+        # temporary inside EVERY chunk's matmul (advisor-measured ~4×
+        # matrix size per call) — the peak memory is the same as one
+        # implicit cast, but paid once instead of per 256-row chunk
+        inc_t = np.ascontiguousarray(inc_.T, dtype=np.int32)
         all_ids = np.arange(inc_.shape[0])[None, :]
         for pdf in batches:
             if pdf.empty:
@@ -270,11 +276,8 @@ def jaccard_pairs(
             qid_all = pdf["set_id"].to_numpy()
             for i0 in range(0, len(qid_all), chunk_rows):
                 qid = qid_all[i0 : i0 + chunk_rows]
-                # int32 @ int8: numpy buffers the cast, so the broadcast
-                # incidence is never materialized at 4× (the transpose is
-                # a view; only the chunk rows are upcast)
                 q = inc_[qid].astype(np.int32)
-                inter = q @ inc_.T
+                inter = q @ inc_t
                 union = sizes_[qid][:, None] + sizes_[None, :] - inter
                 with np.errstate(all="ignore"):
                     jac = np.where(union > 0, inter / union, 0.0)
@@ -328,8 +331,13 @@ def jaccard_pairs_scalable(
     max_bucket: int | None = 5_000,
     shingle: int | None = None,
     flag_col: str | None = None,
+    precomputed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Unbounded-corpus near-dup pairs: LSH candidates, EXACT verify.
+
+    ``precomputed_bands`` passes a ``band_signature_store`` frame to the
+    candidate step: texts whose digest is in the store reuse their
+    stored band signatures; only unseen texts are minhashed.
 
     ``flag_col`` passes through to the candidate step's asymmetric
     band join (only pairs touching a flagged doc survive — the
@@ -357,7 +365,7 @@ def jaccard_pairs_scalable(
     cands = minhash_lsh_candidates(
         df, n_perm=n_perm, bands=bands, id_col=id_col,
         text_col=text_col, max_bucket=max_bucket, shingle=shingle,
-        flag_col=flag_col,
+        flag_col=flag_col, precomputed_bands=precomputed_bands,
     )
     if shingle is None:
         set_col = F.filter(
@@ -429,6 +437,82 @@ def band_signatures(
     ).select("doc_id", "bs.band", "bs.sig")
 
 
+def band_signature_store(
+    df: DataFrame,
+    n_perm: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+    shingle: int | None = None,
+) -> DataFrame:
+    """Persistable minhash band signatures, keyed by CONTENT DIGEST:
+    (_dh, _ds, band, sig, n_perm, bands, shingle) — one row set per
+    distinct (normalized) corpus text.
+
+    The nightly-ingest companion to ``dedup_incremental``: write this
+    once per corpus build (``store.write.parquet(path)``), read it back
+    and pass it as ``corpus_sigs=`` so each new batch re-minhashes only
+    texts whose digest is NOT already in the store, instead of
+    recomputing the whole corpus's signatures every night. Digest keys
+    (not doc ids) make the store immune to id reassignment and to
+    which side's id wins the rep collapse. The (n_perm, bands, shingle)
+    columns are constant (they compress to nothing in parquet) and are
+    validated against the consumer's parameters at use.
+    """
+    from proxyfeatureextraction_spark.functions.text import normalize_text
+
+    norm = (
+        normalize_text(text_col)
+        if normalize
+        else F.coalesce(F.col(text_col), F.lit(""))
+    )
+    dh, ds = _digest("_t")
+    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("_t")).withColumns(
+        {"_dh": dh, "_ds": ds}
+    )
+    reps = base.groupBy("_dh", "_ds").agg(F.min("doc_id").alias("doc_id"))
+    rep_docs = reps.join(base.select("doc_id", "_t"), "doc_id").select(
+        "doc_id", "_dh", "_ds", F.col("_t").alias("text")
+    )
+    sigs = band_signatures(
+        rep_docs, n_perm=n_perm, bands=bands, id_col="doc_id",
+        text_col="text", shingle=shingle,
+    )
+    return (
+        sigs.join(rep_docs.select("doc_id", "_dh", "_ds"), "doc_id")
+        .select(
+            "_dh", "_ds", "band", "sig",
+            F.lit(n_perm).alias("n_perm"),
+            F.lit(bands).alias("bands"),
+            F.lit(-1 if shingle is None else shingle).alias("shingle"),
+        )
+    )
+
+
+def _validate_sig_store(
+    store: DataFrame, n_perm: int, bands: int, shingle: int | None
+) -> DataFrame:
+    """Check a band-signature store's recorded parameters against the
+    consumer's and strip the metadata columns."""
+    meta_cols = {"n_perm", "bands", "shingle"} & set(store.columns)
+    if meta_cols:
+        row = store.select(*sorted(meta_cols)).first()
+        want = {
+            "n_perm": n_perm,
+            "bands": bands,
+            "shingle": -1 if shingle is None else shingle,
+        }
+        for c in sorted(meta_cols):
+            if row is not None and row[c] != want[c]:
+                raise ValueError(
+                    f"band signature store was built with {c}={row[c]} but the "
+                    f"consumer wants {c}={want[c]}: signatures are not "
+                    f"comparable — rebuild the store with matching parameters."
+                )
+    return store.select("_dh", "_ds", "band", "sig")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     n_perm: int = 16,
@@ -439,6 +523,7 @@ def minhash_lsh_candidates(
     collapse_exact: bool = True,
     shingle: int | None = None,
     flag_col: str | None = None,
+    precomputed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: per-band signature equality join.
 
@@ -491,10 +576,25 @@ def minhash_lsh_candidates(
             .drop("_dh", "_ds")
         )
         base = keep.join(df.select(id_col, text_col), id_col)
-    bands_df = band_signatures(
-        base, n_perm=n_perm, bands=bands, id_col=id_col, text_col=text_col,
-        shingle=shingle,
-    )
+    if precomputed_bands is not None:
+        # reuse stored signatures for texts whose digest is already in
+        # the store (``band_signature_store``); minhash only the rest
+        store = _validate_sig_store(precomputed_bands, n_perm, bands, shingle)
+        dh, ds = _digest(text_col)
+        keyed = base.withColumns({"_dh": dh, "_ds": ds})
+        known = keyed.join(store, ["_dh", "_ds"]).select(
+            F.col(id_col).alias("doc_id"), "band", "sig"
+        )
+        todo = keyed.join(store, ["_dh", "_ds"], "left_anti").drop("_dh", "_ds")
+        bands_df = band_signatures(
+            todo, n_perm=n_perm, bands=bands, id_col=id_col, text_col=text_col,
+            shingle=shingle,
+        ).unionByName(known)
+    else:
+        bands_df = band_signatures(
+            base, n_perm=n_perm, bands=bands, id_col=id_col, text_col=text_col,
+            shingle=shingle,
+        )
     if flag_col is not None:
         bands_df = bands_df.join(
             base.select(F.col(id_col).alias("doc_id"), flag_col), "doc_id"
@@ -828,10 +928,18 @@ def dedup_incremental(
     n_perm: int = 16,
     bands: int = 8,
     max_iter: int = 30,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-deduped corpus — the
     nightly-ingest pattern. Returns the new docs only:
     (doc_id, cluster_rep, is_survivor).
+
+    ``corpus_sigs`` takes a persisted ``band_signature_store`` frame
+    (built from the corpus with MATCHING n_perm/bands/normalize): texts
+    whose digest is already in the store skip the minhash recompute, so
+    a nightly batch pays signature cost only for genuinely new content.
+    Only consulted on the scalable route (the exact route has no
+    signatures); parameters are validated against the store's metadata.
 
     A new doc survives iff its near-dup cluster touches NO corpus doc
     and it is the minimum id among the cluster's new docs. Work is
@@ -843,8 +951,7 @@ def dedup_incremental(
     ``'exact'`` = full word-set pairs over distinct-text reps, filtered
     to new-involving; ``'scalable'`` = flag-asymmetric LSH candidates +
     exact JVM verify; ``'auto'`` = exact until its fail-fast bound
-    fires. At deployment scale, persist the corpus side's band
-    signatures between batches instead of recomputing them."""
+    fires."""
     from proxyfeatureextraction_spark.functions.text import normalize_text
 
     norm = (
@@ -911,7 +1018,7 @@ def dedup_incremental(
         # started to drift before this was consolidated)
         near = jaccard_pairs_scalable(
             rep_docs, threshold=threshold, n_perm=n_perm, bands=bands,
-            flag_col="_new",
+            flag_col="_new", precomputed_bands=corpus_sigs,
         ).select("doc_a", "doc_b")
     edges = exact_edges.unionByName(near)
     assign = dedup_clusters(edges, nodes=union.select("doc_id"), max_iter=max_iter)
@@ -940,6 +1047,7 @@ def dedup_clusters(
     b_col: str = "doc_b",
     id_col: str = "doc_id",
     max_iter: int = 30,
+    reliable: bool = False,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into clusters: (doc_id, cluster_rep).
 
@@ -955,23 +1063,36 @@ def dedup_clusters(
     distributed, and the edge set converges to per-component stars in
     O(log n) rounds regardless of chain length (plain min-label
     propagation needs O(diameter) rounds — pathological on long
-    chains). ``localCheckpoint`` truncates the loop's lineage each
-    round so the plan stays flat; on a real cluster point
-    ``spark.sparkContext.setCheckpointDir`` at durable storage and
-    swap in ``checkpoint`` if executor loss matters mid-job.
+    chains). Per-round checkpointing truncates the loop's lineage so
+    the plan stays flat: ``reliable=False`` (default) uses
+    ``localCheckpoint`` — executor-local blocks, cheapest, but an
+    executor loss mid-contraction fails the job; ``reliable=True``
+    uses reliable ``checkpoint`` to the directory set via
+    ``spark.sparkContext.setCheckpointDir`` (point it at durable
+    storage on a real cluster — raises up front if unset).
 
     ``nodes`` (any DataFrame with ``id_col``) adds singleton rows
     (cluster_rep = self) for docs that never paired, so the output is a
     total assignment over the corpus. Survivors are then
     ``cluster_rep == doc_id`` rows; everything else drops.
     """
+    if reliable:
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "dedup_clusters(reliable=True) needs a reliable checkpoint "
+                "directory: call spark.sparkContext.setCheckpointDir(<durable "
+                "path>) first (HDFS/S3 on a real cluster)."
+            )
+        _ckpt = lambda d, eager: d.checkpoint(eager=eager)  # noqa: E731
+    else:
+        _ckpt = lambda d, eager: d.localCheckpoint(eager=eager)  # noqa: E731
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    edges = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
+    edges = _ckpt(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
+        True,
     )
 
     def _sym(df: DataFrame) -> DataFrame:
@@ -1000,7 +1121,7 @@ def dedup_clusters(
         )
         # eager=False: persistence is marked now, materialization rides
         # the round's ONE action (the checksum) — 1 job per round, not 3
-        edges = _sym(large).localCheckpoint(eager=False)
+        edges = _ckpt(_sym(large), False)
         # small-star: per node, the smaller neighbors + self re-link to
         # the minimum of that set (directed large→small view)
         down = edges.filter(F.col("v") < F.col("u"))
@@ -1011,7 +1132,7 @@ def dedup_clusters(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smin.select(F.col("u"), F.col("m").alias("v")))
         )
-        edges = _sym(small).localCheckpoint(eager=False)
+        edges = _ckpt(_sym(small), False)
         cur = _checksum(edges)
         if cur == prev:
             converged = True

@@ -104,7 +104,7 @@ def cosine_topk_bruteforce(
             F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
         ).first()
         n, d = stats["n"] or 0, stats["d"] or 0
-        if n > max_rows or n * d > (max_cells or n * d):
+        if n > max_rows or (max_cells is not None and n * d > max_cells):
             raise ValueError(
                 f"cosine_topk_bruteforce corpus exceeds the exact-baseline "
                 f"bound ({n} rows × {d} dim vs max {max_rows} rows / "

@@ -16,6 +16,20 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _session_scratch() -> str:
+    """Per-user, per-process scratch root for the embedded metastore and
+    warehouse. Derby takes a single-process lock on its system home, so
+    a SHARED /tmp path made two concurrent sessions (parallel pytest
+    runs, simultaneous CLI jobs, multiple users) collide on the lock and
+    see each other's managed tables (advisor finding, round 3).
+    Override with ``PFX_SCRATCH_DIR`` (or per-key via ``extra_conf``)."""
+    base = os.environ.get("PFX_SCRATCH_DIR") or os.path.join(
+        "/tmp", f"pfx-{os.getuid()}-{os.getpid()}"
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def _local_dir() -> str:
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
@@ -70,11 +84,16 @@ def get_spark(
         # serializes shuffle spill and caps thread scaling; a real
         # cluster has node-local NVMe that scales with executors
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _local_dir()))
-        # managed (bucketed) tables + embedded metastore out of the repo
-        .config("spark.sql.warehouse.dir", "/tmp/pfx-warehouse")
+        # managed (bucketed) tables + embedded metastore out of the repo,
+        # in a per-user per-process dir (Derby's lock is single-process)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(_session_scratch(), "warehouse"),
+        )
         .config(
             "spark.driver.extraJavaOptions",
-            "-Dio.netty.tryReflectionSetAccessible=true -Dderby.system.home=/tmp/pfx-derby",
+            "-Dio.netty.tryReflectionSetAccessible=true "
+            f"-Dderby.system.home={os.path.join(_session_scratch(), 'derby')}",
         )
     )
     for k, v in (extra_conf or {}).items():

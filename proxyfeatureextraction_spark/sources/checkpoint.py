@@ -43,7 +43,11 @@ def input_fingerprint(spark, path: str) -> str:
     unchanging directory entries) hashing relpath:size:mtime_ns per
     data file, so a same-size in-place rewrite still changes the
     fingerprint. Non-local paths (s3://, hdfs://) hash the dataset's
-    actual file listing via Spark rather than the path string."""
+    resolved file listing PLUS each file's length and modification time
+    (fetched with one Hadoop ``FileSystem.listStatus`` per directory
+    through the JVM gateway), so a same-name in-place rewrite on a
+    remote store changes the fingerprint just like the local branch;
+    files whose status cannot be fetched degrade to name-only."""
     try:  # Iceberg table identifier?
         snap = spark.sql(f"SELECT snapshot_id FROM {path}.snapshots ORDER BY committed_at DESC LIMIT 1")
         return f"iceberg:{snap.first()[0]}"
@@ -60,9 +64,31 @@ def input_fingerprint(spark, path: str) -> str:
                 rel = os.path.relpath(os.path.join(root, name), path)
                 h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     else:
-        try:  # remote FS: hash the resolved file listing, not the path
-            for f in sorted(spark.read.parquet(path).inputFiles()):
-                h.update(f.encode())
+        try:  # remote FS: hash the resolved listing + size + mtime
+            files = sorted(spark.read.parquet(path).inputFiles())
+            meta: dict[str, tuple[int, int]] = {}
+            try:
+                jvm = spark._jvm
+                conf = spark._jsc.hadoopConfiguration()
+                by_dir: dict[str, set[str]] = {}
+                for f in files:
+                    d, _, name = f.rpartition("/")
+                    by_dir.setdefault(d, set()).add(name)
+                for d, names in sorted(by_dir.items()):
+                    dp = jvm.org.apache.hadoop.fs.Path(d)
+                    fs = dp.getFileSystem(conf)
+                    for st in fs.listStatus(dp):
+                        nm = st.getPath().getName()
+                        if nm in names:
+                            meta[f"{d}/{nm}"] = (
+                                st.getLen(),
+                                st.getModificationTime(),
+                            )
+            except Exception:  # noqa: BLE001 — status unavailable: name-only
+                meta = {}
+            for f in files:
+                sz, mt = meta.get(f, (-1, -1))
+                h.update(f"{f}:{sz}:{mt}".encode())
         except Exception:  # noqa: BLE001 — unreadable: path-only fallback
             h.update(path.encode())
     return f"files:{h.hexdigest()}"

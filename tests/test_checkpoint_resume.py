@@ -156,3 +156,28 @@ def test_zero_row_rebuild_clears_stale_partition(spark, transcripts_df, tmp_path
             m = json.load(fh)
         if m["partition"] != victim:
             assert m["rows"] == 0, f"stale data re-manifested for {m['partition']}"
+
+
+def test_remote_branch_fingerprint_sees_inplace_rewrite(spark, tmp_path):
+    """Advisor finding: the non-directory branch (remote stores resolve
+    here) used to hash only file NAMES, so a same-name in-place rewrite
+    kept the old fingerprint and run_resumable would skip re-processing.
+    It now hashes name + length + modification time via the Hadoop
+    FileSystem, so the rewrite is seen. A single local parquet FILE
+    exercises exactly that branch (it is not a directory)."""
+    import time
+
+    import pandas as pd
+
+    from proxyfeatureextraction_spark.sources.checkpoint import input_fingerprint
+
+    p = str(tmp_path / "single.parquet")
+    pd.DataFrame({"a": [1, 2, 3]}).to_parquet(p)
+    fp1 = input_fingerprint(spark, p)
+    assert fp1.startswith("files:")
+    time.sleep(0.02)  # Hadoop mtime resolution is 1 ms
+    pd.DataFrame({"a": [4, 5, 6]}).to_parquet(p)  # same name, same shape
+    fp2 = input_fingerprint(spark, p)
+    assert fp1 != fp2
+    # stable when nothing changed
+    assert input_fingerprint(spark, p) == fp2

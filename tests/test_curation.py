@@ -690,3 +690,29 @@ def test_profile_numeric_handles_quoted_column_names(spark):
     df = spark.createDataFrame([(1.0,), (3.0,)], ["event value"])
     out = profile_numeric(df, ["event value"]).toPandas().set_index("col")
     assert out.loc["event value", "p50"] == 2.0
+
+
+def test_corpus_report_approx_within_rsd_and_exact_digest_equiv(spark):
+    """exact=False (HyperLogLog++) lands within a few rsd of the true
+    distinct count; exact=True (digest-keyed) equals a naive
+    countDistinct(text), including NULL-text handling."""
+    from proxyfeatureextraction_spark.operators.curation import corpus_report
+    from pyspark.sql import functions as F
+
+    n_distinct = 500
+    rows = [(i, "s", f"unique document body number {i}") for i in range(n_distinct)]
+    rows += [(1000 + i, "s", "a repeated document") for i in range(50)]
+    rows += [(2000, "s", None), (2001, "s", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    true_distinct = n_distinct + 1  # NULLs are ignored by countDistinct
+
+    exact = corpus_report(df).collect()[0]
+    assert exact["n_distinct"] == true_distinct
+    naive = df.groupBy("source").agg(F.countDistinct("text").alias("nd")).collect()[0]
+    assert exact["n_distinct"] == naive["nd"]
+
+    rsd = 0.05
+    approx = corpus_report(df, exact=False, rsd=rsd).collect()[0]
+    rel_err = abs(approx["n_distinct"] - true_distinct) / true_distinct
+    assert rel_err <= 4 * rsd, f"approx distinct off by {rel_err:.3f}"
+    assert abs(approx["dup_rate"] - exact["dup_rate"]) <= 4 * rsd

@@ -673,3 +673,92 @@ def test_exact_dedup_digest_matches_text_groupby(spark):
     assert got == naive
     narrow = {(r.keep_id, r.copies) for r in exact_dedup(df, with_text=False).collect()}
     assert narrow == {(k, c) for _, k, c in naive}
+
+
+def test_band_signature_store_reuse_matches_recompute(spark, tmp_path):
+    """Nightly-ingest path: dedup_incremental with a persisted corpus
+    band-signature store (parquet round-trip) produces EXACTLY the same
+    output as the recompute-everything path, and the store's signatures
+    equal a fresh band_signatures run over the corpus reps."""
+    from proxyfeatureextraction_spark.operators.dedup import (
+        band_signature_store,
+        band_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i % 7} shared words alpha beta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "corpus doc 3 shared words alpha beta"),   # near/exact dup
+            (101, "a genuinely new document body gamma"),
+            (102, "corpus doc 5 shared words alpha beta!"),  # near dup
+        ],
+        "doc_id long, text string",
+    )
+    base = dedup_incremental(new, corpus, method="scalable")
+    store = band_signature_store(corpus, n_perm=16, bands=8)
+    p = str(tmp_path / "sigstore")
+    store.write.parquet(p)
+    loaded = spark.read.parquet(p)
+    got = dedup_incremental(new, corpus, method="scalable", corpus_sigs=loaded)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(got) == as_set(base)
+    # the store holds exactly the signatures a fresh run would compute
+    from proxyfeatureextraction_spark.functions.text import normalize_text
+
+    reps = (
+        corpus.select(F.col("doc_id"), normalize_text("text").alias("text"))
+        .groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    fresh = band_signatures(reps, n_perm=16, bands=8)
+    stored = loaded.join(
+        reps.withColumns(
+            {"_dh": F.xxhash64("text"), "_ds": F.sha2(F.col("text"), 256)}
+        ).select("doc_id", "_dh", "_ds"),
+        ["_dh", "_ds"],
+    ).select("doc_id", "band", "sig")
+    assert as_set(stored) == as_set(fresh)
+
+
+def test_band_signature_store_param_mismatch_rejected(spark):
+    from proxyfeatureextraction_spark.operators.dedup import band_signature_store
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text here")], "doc_id long, text string"
+    )
+    store = band_signature_store(corpus, n_perm=16, bands=4)
+    new = spark.createDataFrame([(2, "other text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        dedup_incremental(
+            new, corpus, method="scalable", bands=8, corpus_sigs=store
+        ).collect()
+
+
+def test_dedup_clusters_reliable_checkpoint_mode(spark, tmp_path):
+    """reliable=True swaps localCheckpoint for reliable checkpoint (same
+    answers on the chain topology, checkpoint files actually written);
+    without a checkpoint dir it fails fast with a clear message."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (11, 10), (20, 21)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    if old is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            dedup_clusters(pairs, reliable=True)
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        got = {
+            r.doc_id: r.cluster_rep
+            for r in dedup_clusters(pairs, reliable=True).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+        assert any(os.scandir(ckdir)), "no reliable checkpoint files written"
+    finally:
+        if old is not None:
+            sc.setCheckpointDir(old)
