@@ -1362,6 +1362,22 @@ def q_sample_per_group(spark, sf_dir):
     return sample_per_group(d, "lang", 5, seed=3).select("lang", "doc_id")
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sample (Efraimidis–Spirakis A-ES) with the
+    LOG-DOMAIN key ln(u)/w — monotone-equivalent to u^(1/w) but
+    cross-engine-stable enough to gate (one libm ln + one IEEE divide;
+    float-pow tie order was not portable). Weight = n_chars + 1."""
+    from proxyfeatureextraction_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    wd = d.withColumn("wt", (F.col("n_chars") + 1).cast("double"))
+    return weighted_sample_per_group(wd, "lang", 5, "wt", seed=7).select(
+        "lang", "doc_id"
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any word 8-gram
     with the eval split (doc_id % 20 == 0) are flagged. Eval shingle
@@ -1578,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
+        "sample_weighted": q_sample_weighted,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
@@ -1619,10 +1636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_counts": q_gate_counts,
         "semi_anti": q_semi_anti,
         "first_k": q_first_k,
-        "flow_pairs": q_flow_pairs,
         # ---- entries below are past the driver's 50-entry window this ----
         # ---- round (all driver-green in CORRECTNESS_r02/r03); they     ----
         # ---- rotate back in round 5                                    ----
+        "flow_pairs": q_flow_pairs,
         "directional_counts": q_directional_counts,
         "first_last_30": q_first_last_30,
         "chunk_concentration": q_chunk_concentration,
@@ -2496,6 +2513,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM documents),
         r AS (SELECT lang, doc_id,
                      row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+              FROM h)
+        SELECT lang, doc_id FROM r WHERE rk <= 5
+        """,
+        "sample_weighted": f"""
+        WITH h AS (SELECT lang, doc_id,
+                          ln(({_id_hash_sql('doc_id', seed=7)} + 1)
+                             / 1000000008.0)
+                          / CAST(n_chars + 1 AS DOUBLE) AS key
+                   FROM documents),
+        r AS (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
               FROM h)
         SELECT lang, doc_id FROM r WHERE rk <= 5
         """,

@@ -4,10 +4,10 @@ Beyond dedup/similarity (operators/dedup.py, operators/similarity.py),
 a production pipeline needs the selection layer: deterministic
 train/val/test splits, per-group sampling, eval-set decontamination,
 and sequence packing. All deterministic (portable polynomial / affine
-hashes — no engine RNG), so every operator except
-``weighted_sample_per_group`` (float-pow tie order is not portable;
-pytest-pinned instead) has a bit-identical DuckDB oracle in
-``__spark_entry__``.
+hashes — no engine RNG), so every operator has a DuckDB oracle in
+``__spark_entry__`` — including ``weighted_sample_per_group`` since its
+A-ES key moved to the log domain (``ln(u)/w``; the old ``u^(1/w)``
+float-pow tie order was not portable across engines).
 
 Scale notes per operator are in the docstrings. The only broadcasts
 are the (small) eval-side tables in ``decontaminate`` /
@@ -148,7 +148,13 @@ def weighted_sample_per_group(
     hash-partition exchange on ``group_col``.
     """
     u = (_id_hash(id_col, seed) + 1).cast("double") / float(HASH_MOD + 1)
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    # log-domain A-ES key: ln(u)/w is monotone-equivalent to u^(1/w)
+    # (ln increasing, w > 0) but never underflows — u^(1/w) hits double
+    # zero for small u with small w (e.g. u=1e-9, w=0.01), collapsing
+    # distinct keys into id-order ties; one ln + one divide is also far
+    # closer to cross-engine-reproducible than pow (this is what makes
+    # the DuckDB driver gate possible)
+    key = F.log(u) / F.col(weight_col).cast("double")
     w = Window.partitionBy(group_col).orderBy(F.desc(key), F.col(id_col))
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
