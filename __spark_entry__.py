@@ -1378,6 +1378,30 @@ def q_sample_weighted(spark, sf_dir):
     )
 
 
+def q_mix_corpus(spark, sf_dir):
+    """Deterministic domain-mixture resampling: reshape per-lang shares
+    to 5:2:1 (en:zh:de; other langs dropped) by hash-threshold
+    downsampling — no RNG, largest corpus with proportional shares."""
+    from proxyfeatureextraction_spark.operators.curation import mix_corpus
+
+    d = _table(spark, sf_dir, "documents")
+    out = mix_corpus(d, {"en": 5.0, "zh": 2.0, "de": 1.0}, group_col="lang", seed=5)
+    return out.select("lang", "doc_id")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-based quality signals (Rae et al. 2021 §A1.1.1):
+    word stats, symbol/alpha ratios, stopword hits, bullet/ellipsis
+    line ratios, and the pass/fail conjunction — all JVM HOFs."""
+    from proxyfeatureextraction_spark.functions.text import gopher_quality
+
+    d = _table(spark, sf_dir, "documents")
+    sig = gopher_quality("text")
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in sig.items()]
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any word 8-gram
     with the eval split (doc_id % 20 == 0) are flagged. Eval shingle
@@ -1595,6 +1619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
         "sample_weighted": q_sample_weighted,
+        "mix_corpus": q_mix_corpus,
+        "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
@@ -1634,11 +1660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_pairs_arrays": q_flow_pairs_arrays,
         "rate_series": q_rate_series,
         "gate_counts": q_gate_counts,
-        "semi_anti": q_semi_anti,
-        "first_k": q_first_k,
         # ---- entries below are past the driver's 50-entry window this ----
         # ---- round (all driver-green in CORRECTNESS_r02/r03); they     ----
         # ---- rotate back in round 5                                    ----
+        "semi_anti": q_semi_anti,
+        "first_k": q_first_k,
         "flow_pairs": q_flow_pairs,
         "directional_counts": q_directional_counts,
         "first_last_30": q_first_last_30,
@@ -2515,6 +2541,67 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
               FROM h)
         SELECT lang, doc_id FROM r WHERE rk <= 5
+        """,
+        "mix_corpus": f"""
+        WITH c AS (
+          SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+                 CASE lang WHEN 'en' THEN 5.0 WHEN 'zh' THEN 2.0
+                           WHEN 'de' THEN 1.0 END AS wt
+          FROM documents GROUP BY lang
+        ),
+        r AS (
+          SELECT lang, wt * sum(n) OVER () / n AS ratio
+          FROM c WHERE wt IS NOT NULL
+        ),
+        k AS (SELECT lang, ratio / max(ratio) OVER () AS keep FROM r)
+        SELECT d.lang, d.doc_id
+        FROM documents d JOIN k USING (lang)
+        WHERE CAST({_id_hash_sql('d.doc_id', seed=5)} AS DOUBLE)
+              < k.keep * 1000000007.0
+        """,
+        "gopher_quality": """
+        WITH t AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS txt,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             w -> length(w) > 0) AS toks,
+                 list_filter(string_split(coalesce(text, ''), chr(10)),
+                             l -> length(l) > 0) AS lns
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 round(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+                       / greatest(len(toks), 1) * 1.0, 6) AS mean_word_len,
+                 round(((length(txt) - length(replace(txt, '#', '')))
+                        + (length(txt) - length(replace(txt, '...', ''))) / 3.0)
+                       / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+                 round(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                       * 1.0 / greatest(len(toks), 1), 6) AS alpha_word_ratio,
+                 CAST(list_contains(toks, 'the')::INT + list_contains(toks, 'be')::INT
+                    + list_contains(toks, 'to')::INT + list_contains(toks, 'of')::INT
+                    + list_contains(toks, 'and')::INT + list_contains(toks, 'that')::INT
+                    + list_contains(toks, 'have')::INT + list_contains(toks, 'with')::INT
+                      AS BIGINT) AS stop_hits,
+                 round(len(list_filter(lns, l -> starts_with(l, '-')
+                                            OR starts_with(l, '*')
+                                            OR starts_with(l, '•')))
+                       * 1.0 / greatest(len(lns), 1), 6) AS bullet_line_ratio,
+                 round(len(list_filter(lns, l -> ends_with(l, '...')
+                                            OR ends_with(l, '…')))
+                       * 1.0 / greatest(len(lns), 1), 6) AS ellipsis_line_ratio
+          FROM t
+        )
+        SELECT *,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.1
+                AND alpha_word_ratio >= 0.8
+                AND stop_hits >= 2
+                AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3) AS passes_gopher
+        FROM m
         """,
         "sample_weighted": f"""
         WITH h AS (SELECT lang, doc_id,

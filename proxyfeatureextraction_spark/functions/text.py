@@ -160,6 +160,92 @@ def scrub_pii(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+#: Gopher's required-stopword list (Rae et al. 2021, §A1.1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(text_col: str = "text") -> dict[str, Column]:
+    """Gopher-style rule-based quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1.1 — the public
+    filtering recipe most pretraining pipelines start from), all pure
+    JVM higher-order expressions with bit-identical DuckDB twins:
+
+    - ``n_words``: whitespace token count
+    - ``mean_word_len``: mean characters per word (0 when empty)
+    - ``symbol_word_ratio``: ('#' occurrences + '...' occurrences) /
+      words — the hashtag/ellipsis spam signal
+    - ``alpha_word_ratio``: fraction of words containing at least one
+      ASCII letter
+    - ``stop_hits``: how many of Gopher's 8 required stopwords appear
+    - ``bullet_line_ratio`` / ``ellipsis_line_ratio``: fraction of
+      lines starting with a bullet / ending with an ellipsis
+    - ``passes_gopher``: the conjunction with Gopher's published
+      thresholds (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, symbol ratio
+      ≤ 0.1, ≥ 80% alphabetic words, ≥ 2 stopwords, ≤ 90% bullet
+      lines, ≤ 30% ellipsis lines)
+
+    Ratios are rounded to 6 digits (oracle portability); every signal
+    is null-safe (null text behaves like empty text).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.filter(F.split(txt, " "), lambda w: F.length(w) > 0)
+    nw = F.size(t)
+    nw_d = F.greatest(nw.cast("double"), F.lit(1.0))
+    mean_len = F.round(
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / nw_d,
+        6,
+    )
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ell) / nw_d, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]"))) / nw_d, 6
+    )
+    stop_hits = sum(
+        [F.array_contains(t, s).cast("int") for s in GOPHER_STOPWORDS],
+        F.lit(0),
+    )
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.length(l) > 0)
+    nl_d = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        )
+        / nl_d,
+        6,
+    )
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…")))
+        / nl_d,
+        6,
+    )
+    passes = (
+        (nw >= 50) & (nw <= 100_000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+        & (bullet_ratio <= 0.9)
+        & (ellipsis_ratio <= 0.3)
+    )
+    return {
+        "n_words": nw.cast("long"),
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": symbol_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "stop_hits": stop_hits.cast("long"),
+        "bullet_line_ratio": bullet_ratio,
+        "ellipsis_line_ratio": ellipsis_ratio,
+        "passes_gopher": passes,
+    }
+
+
 def compression_ratio(text_col: str = "text", level: int = 6) -> Column:
     """zlib compressed-size / raw-size per document — the cheap entropy
     signal training pipelines use to kill boilerplate and generated

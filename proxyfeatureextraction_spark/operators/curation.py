@@ -164,6 +164,61 @@ def weighted_sample_per_group(
     )
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic mixture resampling — reshape a corpus's per-group
+    shares to the target ``weights`` (e.g. the domain-mixture step of a
+    pretraining pipeline: 60% web / 30% code / 10% books) by
+    DOWNSAMPLING only: the group whose target-to-current ratio is
+    highest is kept whole, every other group keeps
+    ``keep_g = (w_g · total / n_g) / max_h(w_h · total / n_h)`` of its
+    rows — the largest possible corpus with exactly proportional
+    shares (in expectation) and no upsampling/duplication. Groups
+    absent from ``weights`` are dropped.
+
+    Row selection is the portable affine id hash (`hash < keep_g · M`)
+    — no RNG, stable under re-runs / reordering / partition changes,
+    and a doc kept at one mixture stays kept when its group's keep
+    fraction only grows. Scale shape: one tiny per-group count
+    aggregate joined back via broadcast; the filter itself is a narrow
+    projection that fuses into the scan. Weights need not sum to 1
+    (only ratios matter — no normalization float ops to mismatch an
+    oracle)."""
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("mix_corpus weights must be non-negative with a positive sum")
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_w", wmap[F.col(group_col)])
+        .filter(F.col("_w").isNotNull())
+    )
+    # scalar aggregates over the one-row-per-group counts table, joined
+    # back via broadcast (a global window would funnel through a single
+    # partition and warn; same math, cleaner plan)
+    ratios = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("_n").alias("_tot")))
+    ).withColumn("_ratio", F.col("_w") * F.col("_tot") / F.col("_n"))
+    keep = ratios.crossJoin(
+        F.broadcast(ratios.agg(F.max("_ratio").alias("_mx")))
+    ).select(group_col, (F.col("_ratio") / F.col("_mx")).alias("_keep"))
+    return (
+        df.join(F.broadcast(keep), group_col)
+        .filter(
+            _id_hash(id_col, seed).cast("double")
+            < F.col("_keep") * float(HASH_MOD)
+        )
+        .drop("_keep")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -716,3 +716,46 @@ def test_corpus_report_approx_within_rsd_and_exact_digest_equiv(spark):
     rel_err = abs(approx["n_distinct"] - true_distinct) / true_distinct
     assert rel_err <= 4 * rsd, f"approx distinct off by {rel_err:.3f}"
     assert abs(approx["dup_rate"] - exact["dup_rate"]) <= 4 * rsd
+
+
+# ----------------------------------------------------------------- mix_corpus
+
+
+def test_mix_corpus_shares_and_determinism(spark):
+    from proxyfeatureextraction_spark.operators.curation import mix_corpus
+
+    rows = [(i, "a" if i < 6000 else ("b" if i < 9000 else "c"))
+            for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = mix_corpus(df, {"a": 1.0, "b": 1.0}, group_col="grp", seed=2)
+    pdf = out.groupBy("grp").count().toPandas().set_index("grp")["count"]
+    # group 'c' has no weight: dropped entirely
+    assert "c" not in pdf.index
+    # b (3000 docs) has the highest target/current ratio: kept whole
+    assert pdf["b"] == 3000
+    # a is downsampled toward b's size (hash thresholding is exact in
+    # expectation: 3000 ± sampling noise)
+    assert abs(pdf["a"] - 3000) < 200
+    # deterministic under repartition/reorder
+    again = mix_corpus(
+        df.repartition(17), {"a": 1.0, "b": 1.0}, group_col="grp", seed=2
+    )
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in out.collect()}
+    with pytest.raises(ValueError, match="weights"):
+        mix_corpus(df, {}, group_col="grp")
+    with pytest.raises(ValueError, match="weights"):
+        mix_corpus(df, {"a": -1.0}, group_col="grp")
+
+
+def test_mix_corpus_monotone_in_weight(spark):
+    """Raising a group's weight only ADDS docs from it (hash threshold
+    grows) — incremental mixture tuning never churns kept docs."""
+    from proxyfeatureextraction_spark.operators.curation import mix_corpus
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    lo = {r.doc_id for r in
+          mix_corpus(df, {"a": 1.0, "b": 4.0}, group_col="grp").filter("grp='a'").collect()}
+    hi = {r.doc_id for r in
+          mix_corpus(df, {"a": 2.0, "b": 4.0}, group_col="grp").filter("grp='a'").collect()}
+    assert lo <= hi and len(hi) > len(lo)

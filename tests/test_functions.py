@@ -292,3 +292,37 @@ def test_frame_sampling(spark, docs):
     assert set(frames["media_id"]) == set(vids["media_id"])
     per = frames.groupby("media_id")["frame_ms"].agg(["min", "max", "count"])
     assert (per["min"] == 0).all()
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher §A1.1.1 signals: a clean prose doc passes; short, symbol-
+    spam, bullet-list and null docs fail for the right reasons."""
+    from proxyfeatureextraction_spark.functions.text import gopher_quality
+
+    clean = " ".join(
+        "the quick brown fox and that dog have fun with everyone to be seen of"
+        .split() * 8
+    )  # 15 words x 8 = 120, stopword-rich, alphabetic
+    symbol = "the of and to " + "#tag " * 60
+    bullets = "\n".join("- item number {}".format(i) for i in range(10))
+    rows = [
+        (1, clean),
+        (2, "too short"),
+        (3, symbol),
+        (4, bullets),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = gopher_quality("text")
+    got = {
+        r.doc_id: r.asDict()
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in sig.items()]
+        ).collect()
+    }
+    assert got[1]["passes_gopher"] is True
+    assert got[1]["n_words"] == 120 and got[1]["stop_hits"] >= 2
+    assert got[2]["passes_gopher"] is False          # < 50 words
+    assert got[3]["symbol_word_ratio"] > 0.1 and not got[3]["passes_gopher"]
+    assert got[4]["bullet_line_ratio"] == 1.0 and not got[4]["passes_gopher"]
+    assert got[5]["n_words"] == 0 and got[5]["passes_gopher"] is False
