@@ -89,12 +89,13 @@ def main() -> None:
         ]
         timings[name] = min(samples[name])
 
-    # round-3 curation/dedup additions, timed OUTSIDE the headline set
+    # round-3/4 curation/dedup additions, timed OUTSIDE the headline set
     # (the headline list is pinned for round-over-round comparability;
     # these publish per-op evidence for the new operators)
     extra = [
         "dedup_corpus", "decontaminate", "decontaminate_fuzzy",
         "pack_sequences", "curate_corpus", "corpus_report", "hash_split",
+        "sample_weighted", "mix_corpus", "gopher_quality",
     ]
     extras: dict[str, float] = {}
     for name in extra:
