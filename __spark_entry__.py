@@ -1402,6 +1402,35 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+#: Deterministic line-structure injection for the line-level gates: the
+#: fixture text is single-line word soup, so both engines replace every
+#: 7th inter-word space with a newline (same regex, greedy sequential
+#: scan) before the operator runs — making line signals non-degenerate
+#: while keeping the construction bit-identical across engines.
+_INJECT_LINES_RE = r"((?:\S+ ){6}\S+) "
+_INJECT_LINES_SQL = (
+    "regexp_replace(coalesce(text, ''),"
+    " '((?:\\S+ ){6}\\S+) ', '\\1' || chr(10), 'g')"
+)
+
+
+def _docs_with_lines(spark, sf_dir):
+    return _table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.coalesce("text", F.lit("")), _INJECT_LINES_RE, "$1\n")
+    )
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 table A1): duplicate
+    line/paragraph fractions (pure HOFs) plus top-2/3/4-gram and
+    dup-5..10-gram character fractions via ONE digest-keyed explode
+    (the exchange carries (doc_id, n, xxhash64, len) — never gram
+    text). Runs on line-injected docs so line signals are exercised."""
+    from proxyfeatureextraction_spark.functions.text import gopher_repetition
+
+    return gopher_repetition(_docs_with_lines(spark, sf_dir))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any word 8-gram
     with the eval split (doc_id % 20 == 0) are flagged. Eval shingle
@@ -1621,6 +1650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "mix_corpus": q_mix_corpus,
         "gopher_quality": q_gopher_quality,
+        # -- new round-4 operators: need driver rows this round ----------
+        "gopher_repetition": q_gopher_repetition,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
@@ -1659,10 +1690,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": q_rolling_window,
         "flow_pairs_arrays": q_flow_pairs_arrays,
         "rate_series": q_rate_series,
-        "gate_counts": q_gate_counts,
         # ---- entries below are past the driver's 50-entry window this ----
-        # ---- round (all driver-green in CORRECTNESS_r02/r03); they     ----
-        # ---- rotate back in round 5                                    ----
+        # ---- round (all driver-green in CORRECTNESS_r02/r03, or — for ----
+        # ---- round-4 ops that don't fit — green under the local gate  ----
+        # ---- replica tools/check_entry.py); they rotate back/in in r5 ----
+        "gate_counts": q_gate_counts,
         "semi_anti": q_semi_anti,
         "first_k": q_first_k,
         "flow_pairs": q_flow_pairs,
@@ -2602,6 +2634,104 @@ def oracle_sql() -> dict[str, str]:
                 AND bullet_line_ratio <= 0.9
                 AND ellipsis_line_ratio <= 0.3) AS passes_gopher
         FROM m
+        """,
+        "gopher_repetition": f"""
+        WITH d AS (
+          SELECT doc_id, {_INJECT_LINES_SQL} AS t FROM documents
+        ),
+        w AS (
+          SELECT doc_id, t,
+                 list_filter(regexp_split_to_array(t, '\\s+'),
+                             x -> length(x) > 0) AS words,
+                 list_filter(string_split(t, chr(10)),
+                             l -> length(l) > 0) AS lns,
+                 list_filter(string_split(t, chr(10)||chr(10)),
+                             p -> length(trim(p)) > 0) AS paras
+          FROM d
+        ),
+        base AS (
+          SELECT doc_id, length(t) AS n_chars, len(words) AS n_words,
+                 round((len(lns) - len(list_distinct(lns)))
+                       / greatest(len(lns), 1), 6) AS dup_line_frac,
+                 round((coalesce(list_sum(list_transform(lns, x -> length(x))), 0)
+                        - coalesce(list_sum(list_transform(list_distinct(lns),
+                                                           x -> length(x))), 0))
+                       / greatest(coalesce(list_sum(list_transform(lns,
+                                                    x -> length(x))), 0), 1),
+                       6) AS dup_line_char_frac,
+                 round((len(paras) - len(list_distinct(paras)))
+                       / greatest(len(paras), 1), 6) AS dup_para_frac,
+                 round((coalesce(list_sum(list_transform(paras, x -> length(x))), 0)
+                        - coalesce(list_sum(list_transform(list_distinct(paras),
+                                                           x -> length(x))), 0))
+                       / greatest(coalesce(list_sum(list_transform(paras,
+                                                    x -> length(x))), 0), 1),
+                       6) AS dup_para_char_frac
+          FROM w
+        ),
+        ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+        g AS (
+          SELECT w.doc_id, ns.n,
+                 array_to_string(list_slice(w.words, t.i, t.i + ns.n - 1),
+                                 ' ') AS gram
+          FROM w, ns, UNNEST(range(1, len(w.words) - ns.n + 2)) AS t(i)
+        ),
+        c AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) AS glen
+              FROM g GROUP BY doc_id, n, gram),
+        ranked AS (
+          SELECT doc_id, n, c * glen AS cov,
+                 row_number() OVER (PARTITION BY doc_id, n
+                                    ORDER BY c DESC, c * glen DESC) AS rk
+          FROM c),
+        dupn AS (SELECT doc_id, n,
+                        sum(CASE WHEN c >= 2 THEN c * glen ELSE 0 END) AS dupcov
+                 FROM c GROUP BY doc_id, n),
+        pern AS (
+          SELECT t.doc_id, t.n,
+                 round(least(CAST(1.0 AS DOUBLE),
+                             t.cov / greatest(b.n_chars, 1)), 6) AS top_frac,
+                 round(least(CAST(1.0 AS DOUBLE),
+                             dd.dupcov / greatest(b.n_chars, 1)), 6) AS dup_frac
+          FROM ranked t JOIN dupn dd USING (doc_id, n)
+               JOIN base b USING (doc_id)
+          WHERE t.rk = 1),
+        sig AS (
+          SELECT doc_id,
+                 max(CASE WHEN n=2 THEN top_frac END) AS top_2gram_char_frac,
+                 max(CASE WHEN n=3 THEN top_frac END) AS top_3gram_char_frac,
+                 max(CASE WHEN n=4 THEN top_frac END) AS top_4gram_char_frac,
+                 max(CASE WHEN n=5 THEN dup_frac END) AS dup_5gram_char_frac,
+                 max(CASE WHEN n=6 THEN dup_frac END) AS dup_6gram_char_frac,
+                 max(CASE WHEN n=7 THEN dup_frac END) AS dup_7gram_char_frac,
+                 max(CASE WHEN n=8 THEN dup_frac END) AS dup_8gram_char_frac,
+                 max(CASE WHEN n=9 THEN dup_frac END) AS dup_9gram_char_frac,
+                 max(CASE WHEN n=10 THEN dup_frac END) AS dup_10gram_char_frac
+          FROM pern GROUP BY doc_id)
+        SELECT b.doc_id, b.n_chars, b.n_words,
+               b.dup_line_frac, b.dup_line_char_frac,
+               b.dup_para_frac, b.dup_para_char_frac,
+               coalesce(s.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+               coalesce(s.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+               coalesce(s.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+               coalesce(s.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+               coalesce(s.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
+               coalesce(s.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
+               coalesce(s.dup_8gram_char_frac, 0.0) AS dup_8gram_char_frac,
+               coalesce(s.dup_9gram_char_frac, 0.0) AS dup_9gram_char_frac,
+               coalesce(s.dup_10gram_char_frac, 0.0) AS dup_10gram_char_frac,
+               (b.dup_line_frac <= 0.30 AND b.dup_line_char_frac <= 0.20
+                AND b.dup_para_frac <= 0.30 AND b.dup_para_char_frac <= 0.20
+                AND coalesce(s.top_2gram_char_frac, 0.0) <= 0.20
+                AND coalesce(s.top_3gram_char_frac, 0.0) <= 0.18
+                AND coalesce(s.top_4gram_char_frac, 0.0) <= 0.16
+                AND coalesce(s.dup_5gram_char_frac, 0.0) <= 0.15
+                AND coalesce(s.dup_6gram_char_frac, 0.0) <= 0.14
+                AND coalesce(s.dup_7gram_char_frac, 0.0) <= 0.13
+                AND coalesce(s.dup_8gram_char_frac, 0.0) <= 0.12
+                AND coalesce(s.dup_9gram_char_frac, 0.0) <= 0.11
+                AND coalesce(s.dup_10gram_char_frac, 0.0) <= 0.10
+                ) AS passes_repetition
+        FROM base b LEFT JOIN sig s USING (doc_id)
         """,
         "sample_weighted": f"""
         WITH h AS (SELECT lang, doc_id,

@@ -321,3 +321,174 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(text_col))
     )
     return out
+
+
+#: Gopher's repetition-filter thresholds (Rae et al. 2021, table A1):
+#: a document passes when every measured fraction is <= its bound.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_DUP_LINE_FRAC_MAX = 0.30
+GOPHER_DUP_LINE_CHAR_FRAC_MAX = 0.20
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1.1 /
+    table A1 — the "repetitious text" half of the published filtering
+    recipe; `gopher_quality` covers the rule half):
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of non-empty
+      lines (and of their characters) that are repeats of an earlier
+      identical line in the same document
+    - ``dup_para_frac`` / ``dup_para_char_frac``: same over
+      blank-line-separated paragraphs
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): characters covered
+      by the single most frequent word n-gram / total characters
+      (ties on count broken toward the larger coverage — deterministic)
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): characters covered
+      by all occurrences of n-grams appearing more than once / total
+      characters.  Occurrences overlap, so the raw sum can exceed the
+      document length; we cap at 1.0 and document the deviation from
+      Gopher's span-marking definition (exact span union is a
+      sequential per-doc scan; the capped occurrence sum is the
+      standard distributed surrogate and is monotone in the same
+      signal).
+    - ``passes_repetition``: conjunction of table A1's thresholds over
+      whichever signals were requested.
+
+    Line/paragraph signals are pure JVM higher-order expressions (no
+    shuffle).  The n-gram signals build ALL requested n-gram sizes in
+    one generator pass and one explode: the exchange carries
+    ``(doc_id, n, xxhash64(gram), gram_len)`` — never gram text — so
+    the shuffle key width is constant at any corpus size (the same
+    digest-keying rule the exact-dedup family follows).  Aggregation is
+    map-side partial first; the per-(doc,n) and per-doc reduces are
+    tiny.  Short docs (fewer words than n) contribute no n-grams and
+    come back as 0.0 via the left join + coalesce.
+
+    All fractions are rounded to 6 digits (oracle portability); null
+    text behaves like empty text.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
+
+    def _dup_fracs(parts: Column, prefix: str) -> list[Column]:
+        n = F.size(parts)
+        n_d = F.greatest(n.cast("double"), F.lit(1.0))
+        dparts = F.array_distinct(parts)
+        chars = F.aggregate(
+            parts, F.lit(0).cast("long"), lambda a, p: a + F.length(p)
+        )
+        dchars = F.aggregate(
+            dparts, F.lit(0).cast("long"), lambda a, p: a + F.length(p)
+        )
+        chars_d = F.greatest(chars.cast("double"), F.lit(1.0))
+        return [
+            F.round((n - F.size(dparts)) / n_d, 6).alias(f"dup_{prefix}_frac"),
+            F.round((chars - dchars) / chars_d, 6).alias(
+                f"dup_{prefix}_char_frac"
+            ),
+        ]
+
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.length(l) > 0)
+    paras = F.filter(F.split(txt, "\n\n"), lambda p: F.length(F.trim(p)) > 0)
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def _grams(n: int) -> Column:
+        w = F.col("_w")
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.xxhash64(F.array_join(F.slice(w, i, n), " ")).alias("h"),
+                    F.length(F.array_join(F.slice(w, i, n), " ")).alias("glen"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,h:bigint,glen:int>>")
+        )
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(txt).alias("n_chars"),
+        F.size(words).alias("n_words"),
+        *_dup_fracs(lines, "line"),
+        *_dup_fracs(paras, "para"),
+        words.alias("_w"),
+    )
+
+    ex = base.select(
+        "doc_id",
+        F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)).alias("nc"),
+        F.explode(F.flatten(F.array(*[_grams(n) for n in all_ns]))).alias("g"),
+    )
+    cnt = ex.groupBy("doc_id", "g.n", "g.h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("g.glen").alias("glen"),
+        F.first("nc").alias("nc"),
+    )
+    cov = F.col("c") * F.col("glen")
+    per_n = cnt.groupBy("doc_id", "n").agg(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.max(F.struct(F.col("c"), cov.alias("cov"))).getField("cov")
+                / F.first("nc"),
+            ),
+            6,
+        ).alias("top_frac"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sum(F.when(F.col("c") >= 2, cov).otherwise(F.lit(0)))
+                / F.first("nc"),
+            ),
+            6,
+        ).alias("dup_frac"),
+    )
+    sig = per_n.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_frac"))).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_frac"))).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
+    )
+
+    out = base.drop("_w").join(sig, "doc_id", "left")
+    frac_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    for c in frac_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    passes = (
+        (F.col("dup_line_frac") <= GOPHER_DUP_LINE_FRAC_MAX)
+        & (F.col("dup_line_char_frac") <= GOPHER_DUP_LINE_CHAR_FRAC_MAX)
+        & (F.col("dup_para_frac") <= GOPHER_DUP_LINE_FRAC_MAX)
+        & (F.col("dup_para_char_frac") <= GOPHER_DUP_LINE_CHAR_FRAC_MAX)
+    )
+    for n in top_ns:
+        if n in GOPHER_TOP_NGRAM_MAX:
+            passes = passes & (
+                F.col(f"top_{n}gram_char_frac") <= GOPHER_TOP_NGRAM_MAX[n]
+            )
+    for n in dup_ns:
+        if n in GOPHER_DUP_NGRAM_MAX:
+            passes = passes & (
+                F.col(f"dup_{n}gram_char_frac") <= GOPHER_DUP_NGRAM_MAX[n]
+            )
+    return out.withColumn("passes_repetition", passes)

@@ -326,3 +326,98 @@ def test_gopher_quality_rules(spark):
     assert got[3]["symbol_word_ratio"] > 0.1 and not got[3]["passes_gopher"]
     assert got[4]["bullet_line_ratio"] == 1.0 and not got[4]["passes_gopher"]
     assert got[5]["n_words"] == 0 and got[5]["passes_gopher"] is False
+
+
+def _rep_replay(text):
+    """Naive single-doc replay of gopher_repetition's definitions."""
+    t = text or ""
+    words = [w for w in __import__("re").split(r"\s+", t) if w]
+    nc = max(len(t), 1)
+
+    def dup_fracs(parts):
+        n = len(parts)
+        seen, dchars, chars = [], 0, 0
+        for p in parts:
+            chars += len(p)
+            if p not in seen:
+                seen.append(p)
+                dchars += len(p)
+        return (
+            round((n - len(seen)) / max(n, 1), 6),
+            round((chars - dchars) / max(chars, 1), 6),
+        )
+
+    lines = [l for l in t.split("\n") if l]
+    paras = [p for p in t.split("\n\n") if p.strip()]
+    out = {}
+    out["dup_line_frac"], out["dup_line_char_frac"] = dup_fracs(lines)
+    out["dup_para_frac"], out["dup_para_char_frac"] = dup_fracs(paras)
+    for n in range(2, 11):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        counts = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        if counts:
+            top = max(counts.items(), key=lambda kv: (kv[1], kv[1] * len(kv[0])))
+            topcov = top[1] * len(top[0])
+            dupcov = sum(c * len(g) for g, c in counts.items() if c >= 2)
+        else:
+            topcov = dupcov = 0
+        if n in (2, 3, 4):
+            out[f"top_{n}gram_char_frac"] = round(min(1.0, topcov / nc), 6)
+        else:
+            out[f"dup_{n}gram_char_frac"] = round(min(1.0, dupcov / nc), 6)
+    return out
+
+
+def test_gopher_repetition_replay(spark):
+    from proxyfeatureextraction_spark.functions.text import gopher_repetition
+
+    docs = [
+        (0, "the cat sat on the mat while the cat sat on the rug"),
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "line one here\nline one here\nline two here\nline one here"),
+        (3, "para a words\n\npara a words\n\npara b words"),
+        (4, "one two"),          # shorter than most n
+        (5, "solo"),             # no 2-grams at all
+        (6, ""),                 # empty
+        (7, None),               # null == empty
+        (8, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(df).collect()
+    }
+    for doc_id, text in docs:
+        want = _rep_replay(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (
+                doc_id,
+                k,
+                got[doc_id][k],
+                v,
+            )
+    # spam doc: one gram dominates at every n -> fails; alphabet passes
+    assert not got[1]["passes_repetition"]
+    assert got[8]["passes_repetition"]
+    # duplicate-line doc: 2 of 4 lines are repeats
+    assert got[2]["dup_line_frac"] == pytest.approx(0.5)
+    # null and empty text behave identically
+    g6 = {k: v for k, v in got[6].items() if k != "doc_id"}
+    g7 = {k: v for k, v in got[7].items() if k != "doc_id"}
+    assert g6 == g7
+
+
+def test_gopher_repetition_no_text_in_exchange(spark):
+    """The n-gram aggregation exchange must carry digests, not gram
+    text: the digest-keying rule from the round-3 verdict, asserted on
+    the physical plan."""
+    from proxyfeatureextraction_spark.functions.text import gopher_repetition
+
+    df = spark.createDataFrame([(0, "a b c a b c")], "doc_id long, text string")
+    plan = gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1), m.group(0)
