@@ -1431,6 +1431,38 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition(_docs_with_lines(spark, sf_dir))
 
 
+def q_clean_lines(spark, sf_dir):
+    """C4-style line cleaning on line-injected docs: drop lines under
+    4 words or containing 'slow', block docs containing 'merge batch'
+    — all JVM HOFs, no shuffle."""
+    from proxyfeatureextraction_spark.operators.curation import clean_lines
+
+    return clean_lines(
+        _docs_with_lines(spark, sf_dir),
+        min_words_per_line=4,
+        line_blocklist=("slow",),
+        doc_blocklist=("merge batch",),
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-wide exact line dedup (C4 granularity): every distinct
+    line keeps its first (doc_id, pos) occurrence; docs re-assembled.
+    First-occurrence choice shuffles on the line digest pair, never on
+    line text as a key."""
+    from proxyfeatureextraction_spark.operators.curation import dedup_lines
+
+    return dedup_lines(_docs_with_lines(spark, sf_dir))
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping context-window chunking: 40-word windows, stride
+    30 — split/sequence/explode/slice, fuses into the scan."""
+    from proxyfeatureextraction_spark.operators.curation import chunk_docs
+
+    return chunk_docs(_table(spark, sf_dir, "documents"), max_words=40, stride=30)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any word 8-gram
     with the eval split (doc_id % 20 == 0) are flagged. Eval shingle
@@ -1652,6 +1684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         # -- new round-4 operators: need driver rows this round ----------
         "gopher_repetition": q_gopher_repetition,
+        "clean_lines": q_clean_lines,
+        "dedup_lines": q_dedup_lines,
+        "chunk_docs": q_chunk_docs,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
@@ -1687,13 +1722,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "outer_align_zproduct": q_outer_align_zproduct,
         "rtt_pattern": q_rtt_pattern,
-        "rolling_window": q_rolling_window,
-        "flow_pairs_arrays": q_flow_pairs_arrays,
-        "rate_series": q_rate_series,
         # ---- entries below are past the driver's 50-entry window this ----
         # ---- round (all driver-green in CORRECTNESS_r02/r03, or — for ----
         # ---- round-4 ops that don't fit — green under the local gate  ----
         # ---- replica tools/check_entry.py); they rotate back/in in r5 ----
+        "rolling_window": q_rolling_window,
+        "flow_pairs_arrays": q_flow_pairs_arrays,
+        "rate_series": q_rate_series,
         "gate_counts": q_gate_counts,
         "semi_anti": q_semi_anti,
         "first_k": q_first_k,
@@ -2732,6 +2767,69 @@ def oracle_sql() -> dict[str, str]:
                 AND coalesce(s.dup_10gram_char_frac, 0.0) <= 0.10
                 ) AS passes_repetition
         FROM base b LEFT JOIN sig s USING (doc_id)
+        """,
+        "clean_lines": f"""
+        WITH d AS (SELECT doc_id, {_INJECT_LINES_SQL} AS t FROM documents),
+        w AS (SELECT doc_id,
+                     list_filter(list_transform(string_split(t, chr(10)),
+                                                x -> trim(x)),
+                                 l -> length(l) > 0) AS lns,
+                     t
+              FROM d),
+        k AS (SELECT doc_id, lns,
+                     list_filter(lns, l ->
+                         len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                         x -> length(x) > 0)) >= 4
+                         AND NOT contains(lower(l), 'slow')) AS kept,
+                     contains(lower(t), 'merge batch') AS doc_blocked
+              FROM w)
+        SELECT doc_id,
+               coalesce(array_to_string(kept, chr(10)), '') AS text,
+               len(lns) AS n_lines_in,
+               len(kept) AS n_lines_kept,
+               doc_blocked,
+               (NOT doc_blocked AND len(kept) >= 1) AS keep
+        FROM k
+        """,
+        "dedup_lines": f"""
+        WITH d AS (SELECT doc_id, {_INJECT_LINES_SQL} AS t FROM documents),
+        w AS (SELECT doc_id,
+                     list_filter(string_split(t, chr(10)),
+                                 l -> length(l) > 0) AS lns
+              FROM d),
+        l AS (SELECT doc_id, t.i - 1 AS pos, lns[t.i] AS line
+              FROM w, UNNEST(range(1, len(lns) + 1)) AS t(i)),
+        r AS (SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rn
+              FROM l),
+        k AS (SELECT doc_id, pos, line FROM r WHERE rn = 1),
+        re AS (SELECT doc_id,
+                      string_agg(line, chr(10) ORDER BY pos) AS text,
+                      count(*) AS n_lines_kept
+               FROM k GROUP BY doc_id)
+        SELECT w.doc_id, coalesce(re.text, '') AS text,
+               len(w.lns) AS n_lines,
+               coalesce(re.n_lines_kept, 0) AS n_lines_kept
+        FROM w LEFT JOIN re ON w.doc_id = re.doc_id
+        """,
+        "chunk_docs": """
+        WITH w AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                            '\\s+'),
+                                      x -> length(x) > 0) AS words
+                   FROM documents),
+        n AS (SELECT doc_id, words, len(words) AS nw,
+                     CASE WHEN len(words) <= 40 THEN 1
+                          ELSE CAST(floor((len(words) - 40 + 29) / 30.0)
+                                    AS BIGINT) + 1
+                     END AS n_chunks
+              FROM w WHERE len(words) > 0)
+        SELECT doc_id, t.k AS chunk_id,
+               array_to_string(list_slice(words, t.k * 30 + 1,
+                                          t.k * 30 + 40), ' ') AS text,
+               least(40, nw - t.k * 30) AS n_words
+        FROM n, UNNEST(range(0, n_chunks)) AS t(k)
         """,
         "sample_weighted": f"""
         WITH h AS (SELECT lang, doc_id,

@@ -96,6 +96,7 @@ def main() -> None:
         "dedup_corpus", "decontaminate", "decontaminate_fuzzy",
         "pack_sequences", "curate_corpus", "corpus_report", "hash_split",
         "sample_weighted", "mix_corpus", "gopher_quality",
+        "gopher_repetition", "clean_lines", "dedup_lines", "chunk_docs",
     ]
     extras: dict[str, float] = {}
     for name in extra:

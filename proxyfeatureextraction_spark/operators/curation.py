@@ -607,3 +607,174 @@ def pack_sequences(
         return pdf[["shard", "doc_id", "n_tok", "bin_id", "bin_fill"]]
 
     return base.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = False,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the
+    published boilerplate-stripping recipe): drop lines that are too
+    short, lack terminal punctuation (optional — off by default for
+    corpora without prose punctuation), or contain a blocklisted
+    phrase; flag whole documents containing a doc-level blocklist
+    phrase ("lorem ipsum", code-brace spillover).  Returns one row per
+    input document:
+
+    - ``text``: the kept lines re-joined with newlines
+    - ``n_lines_in`` / ``n_lines_kept``: before/after line counts
+    - ``doc_blocked``: doc-level blocklist hit
+    - ``keep``: not blocked AND at least ``min_lines`` lines survived
+      (C4 drops pages with too few sentences; callers filter on this)
+
+    Everything is a JVM higher-order expression over the split-line
+    array — per-row, no shuffle, fuses into the scan.  Matching is
+    case-insensitive; null text behaves like empty text.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(txt, "\n"), F.trim), lambda l: F.length(l) > 0
+    )
+
+    def _line_ok(l: Column) -> Column:
+        ok = F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0)) >= F.lit(
+            min_words_per_line
+        )
+        if require_terminal_punct:
+            ok = ok & (
+                l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
+            )
+        for phrase in line_blocklist:
+            ok = ok & ~F.contains(F.lower(l), F.lit(phrase.lower()))
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    blocked = F.lit(False)
+    for phrase in doc_blocklist:
+        blocked = blocked | F.contains(F.lower(txt), F.lit(phrase.lower()))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).alias("n_lines_in"),
+        F.size(kept).alias("n_lines_kept"),
+        blocked.alias("doc_blocked"),
+        (~blocked & (F.size(kept) >= F.lit(min_lines))).alias("keep"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4 "deduplicate at
+    the three-sentence/line granularity" pass): every distinct line
+    keeps exactly its FIRST occurrence in ``(doc_id, position)``
+    order; later repeats are removed and each document's text is
+    re-assembled from its surviving lines.  Returns one row per input
+    document: ``(doc_id, text, n_lines, n_lines_kept)`` — docs whose
+    every line was seen earlier come back with empty text.
+
+    Scale shape: the first-occurrence choice shuffles on the line
+    DIGEST — ``(xxhash64(line), sha2(line, 256))``, the same
+    collision-proof digest pair the exact-dedup family keys on — never
+    on line text as a key; line text rides as a value exactly twice
+    (once into the digest window, once into the per-doc re-assembly),
+    which is the irreducible minimum since the output contains the
+    text.  The per-doc ``collect_list`` is bounded by document size,
+    not corpus size.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.filter(F.split(txt, "\n"), lambda l: F.length(l) > 0)).alias(
+            "pos", "line"
+        ),
+    )
+    keyed = lines.select(
+        "doc_id",
+        "pos",
+        "line",
+        F.xxhash64("line").alias("h1"),
+        F.sha2("line", 256).alias("h2"),
+    )
+    w = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
+    kept = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "h1", "h2")
+    )
+    re_docs = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(F.filter(F.split(txt, "\n"), lambda l: F.length(l) > 0)).alias("n_lines")
+    )
+    return (
+        base.join(re_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
+    )
+
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size word windows —
+    the standard context-window chunking pass before tokenization
+    (stride < max_words gives the training-time overlap; stride ==
+    max_words gives disjoint chunks).  Chunk ``k`` covers words
+    ``[k*stride, k*stride + max_words)``; the last chunk may be short;
+    the chunk count is the smallest number of windows covering every
+    word.  Empty documents produce no chunks.  Returns
+    ``(doc_id, chunk_id, text, n_words)``.
+
+    Pure JVM: split → sequence/explode → slice/array_join, no Python,
+    no shuffle — the generator fuses into the scan and output
+    partitioning follows the input, so downstream tokenization starts
+    from well-sized splits without an exchange.
+    """
+    if stride <= 0 or max_words <= 0:
+        raise ValueError("max_words and stride must be positive")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words.alias("_w"), F.size(words).alias("nw")
+    ).filter(F.col("nw") > 0)
+    n_chunks = F.when(F.col("nw") <= max_words, F.lit(1).cast("long")).otherwise(
+        F.floor((F.col("nw") - max_words + stride - 1) / stride) + 1
+    )
+    ex = base.select(
+        "doc_id",
+        "_w",
+        "nw",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(F.slice("_w", start, max_words), " ").alias("text"),
+        F.least(F.lit(max_words).cast("long"), F.col("nw") - F.col("chunk_id") * stride).alias(
+            "n_words"
+        ),
+    )

@@ -759,3 +759,109 @@ def test_mix_corpus_monotone_in_weight(spark):
     hi = {r.doc_id for r in
           mix_corpus(df, {"a": 2.0, "b": 4.0}, group_col="grp").filter("grp='a'").collect()}
     assert lo <= hi and len(hi) > len(lo)
+
+
+def test_clean_lines_rules(spark):
+    from proxyfeatureextraction_spark.operators.curation import clean_lines
+
+    docs = [
+        (0, "good line with words.\nno\nthis has javascript inside\nkeep me ok."),
+        (1, "lorem ipsum dolor sit amet.\nfine line here too."),
+        (2, "short\nalso no"),
+        (3, None),
+        (4, "Ends with bang!\nends with quote\"\nno terminal punct here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in clean_lines(
+            df, min_words_per_line=3, line_blocklist=("javascript",)
+        ).collect()
+    }
+    assert got[0]["text"] == "good line with words.\nkeep me ok."
+    assert got[0]["n_lines_in"] == 4 and got[0]["n_lines_kept"] == 2
+    assert got[0]["keep"]
+    # doc blocklist ("lorem ipsum") blocks the whole doc even though a line passes
+    assert got[1]["doc_blocked"] and not got[1]["keep"]
+    assert got[1]["n_lines_kept"] == 2
+    # every line under min_words -> keep False via min_lines
+    assert got[2]["n_lines_kept"] == 0 and not got[2]["keep"]
+    assert got[3]["text"] == "" and got[3]["n_lines_in"] == 0 and not got[3]["keep"]
+    # terminal punctuation mode keeps only .!?" enders
+    strict = {
+        r["doc_id"]: r.asDict()
+        for r in clean_lines(df, require_terminal_punct=True).collect()
+    }
+    assert strict[4]["n_lines_kept"] == 2
+    assert strict[4]["text"] == 'Ends with bang!\nends with quote"'
+
+
+def test_dedup_lines_first_occurrence(spark):
+    from proxyfeatureextraction_spark.operators.curation import dedup_lines
+
+    docs = [
+        (0, "alpha line\nbeta line\nalpha line"),   # in-doc repeat removed
+        (1, "beta line\ngamma line"),               # beta seen in doc 0
+        (2, "alpha line\nbeta line"),               # fully duplicate doc
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+    assert got[0]["text"] == "alpha line\nbeta line"
+    assert got[0]["n_lines"] == 3 and got[0]["n_lines_kept"] == 2
+    assert got[1]["text"] == "gamma line"
+    assert got[2]["text"] == "" and got[2]["n_lines_kept"] == 0
+    assert got[3]["text"] == "" and got[3]["n_lines"] == 0
+    # survivors' line multiset == distinct lines of the corpus
+    kept = [l for r in got.values() if r["text"] for l in r["text"].split("\n")]
+    assert sorted(kept) == ["alpha line", "beta line", "gamma line"]
+
+
+def test_dedup_lines_digest_exchange(spark):
+    """First-occurrence window must partition on the digest pair, not
+    line text (the round-3 digest-keying rule)."""
+    from proxyfeatureextraction_spark.operators.curation import dedup_lines
+
+    df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("h1" in p and "h2" in p for p in parts), parts
+    assert not any("line#" in p for p in parts), parts
+
+
+def test_chunk_docs_windows(spark):
+    from proxyfeatureextraction_spark.operators.curation import chunk_docs
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "a b c"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = chunk_docs(df, max_words=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 10 words, windows of 4 at stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["text"] for r in c0] == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+    ]
+    assert [r["n_words"] for r in c0] == [4, 4, 4]
+    # short doc: one (partial) chunk
+    assert [r["text"] for r in by_doc[1]] == ["a b c"]
+    assert by_doc[1][0]["n_words"] == 3
+    # empty / null docs emit nothing
+    assert 2 not in by_doc and 3 not in by_doc
+    # disjoint mode (stride == max_words) reconstructs the document
+    dis = sorted(
+        chunk_docs(df, max_words=4, stride=4).filter("doc_id = 0").collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert " ".join(r["text"] for r in dis) == " ".join(words)
+    assert [r["n_words"] for r in dis] == [4, 4, 2]
+    with pytest.raises(ValueError):
+        chunk_docs(df, max_words=0)
