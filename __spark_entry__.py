@@ -1463,6 +1463,17 @@ def q_chunk_docs(spark, sf_dir):
     return chunk_docs(_table(spark, sf_dir, "documents"), max_words=40, stride=30)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): smoothed hashed
+    n-gram log-likelihood ratio of target (lang='en') vs raw corpus —
+    bucket tables bounded at 512 rows and broadcast; exchange carries
+    (doc_id, bucket int) only."""
+    from proxyfeatureextraction_spark.operators.curation import dsir_weights
+
+    d = _table(spark, sf_dir, "documents")
+    return dsir_weights(d, d.filter(F.col("lang") == "en"), n_buckets=512)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any word 8-gram
     with the eval split (doc_id % 20 == 0) are flagged. Eval shingle
@@ -1687,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,
         "dedup_lines": q_dedup_lines,
         "chunk_docs": q_chunk_docs,
+        "dsir_weights": q_dsir_weights,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
@@ -1714,7 +1726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "tumbling_keyed": q_tumbling_keyed,
-        "tumbling_global": q_tumbling_global,
         "backfill": q_backfill,
         "lag_lead": q_lag_lead,
         "prefix_cumsum": q_prefix_cumsum,
@@ -1726,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round (all driver-green in CORRECTNESS_r02/r03, or — for ----
         # ---- round-4 ops that don't fit — green under the local gate  ----
         # ---- replica tools/check_entry.py); they rotate back/in in r5 ----
+        "tumbling_global": q_tumbling_global,
         "rolling_window": q_rolling_window,
         "flow_pairs_arrays": q_flow_pairs_arrays,
         "rate_series": q_rate_series,
@@ -2830,6 +2842,41 @@ def oracle_sql() -> dict[str, str]:
                                           t.k * 30 + 40), ' ') AS text,
                least(40, nw - t.k * 30) AS n_words
         FROM n, UNNEST(range(0, n_chunks)) AS t(k)
+        """,
+        "dsir_weights": f"""
+        WITH rawd AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+        rtk AS (SELECT doc_id,
+                       list_filter(string_split(t,' '),
+                                   x -> length(x)>0) AS toks
+                FROM rawd),
+        ttk AS (SELECT doc_id,
+                       list_filter(string_split(coalesce(text,''),' '),
+                                   x -> length(x)>0) AS toks
+                FROM documents WHERE lang = 'en'),
+        rg AS (SELECT doc_id, {_word_hash_sql('u.g')} % 512 AS bucket
+               FROM rtk, UNNEST(list_concat({_shingle_list_sql('toks', 1)},
+                                            {_shingle_list_sql('toks', 2)}))
+                         AS u(g)),
+        tg AS (SELECT doc_id, {_word_hash_sql('u.g')} % 512 AS bucket
+               FROM ttk, UNNEST(list_concat({_shingle_list_sql('toks', 1)},
+                                            {_shingle_list_sql('toks', 2)}))
+                         AS u(g)),
+        cr AS (SELECT bucket, count(*) AS cr FROM rg GROUP BY bucket),
+        ct AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY bucket),
+        tot AS (SELECT (SELECT coalesce(sum(cr),0) FROM cr) AS tr,
+                       (SELECT coalesce(sum(ct),0) FROM ct) AS tt),
+        sc AS (
+          SELECT rg.doc_id, count(*) AS n_grams,
+                 round(sum(ln(CAST(coalesce(ct.ct,0) + 1 AS DOUBLE))
+                           - ln(CAST(coalesce(cr.cr,0) + 1 AS DOUBLE)))
+                       + count(*) * (ln(CAST(tot.tr + 512 AS DOUBLE))
+                                     - ln(CAST(tot.tt + 512 AS DOUBLE))),
+                       6) AS log_importance
+          FROM rg LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), tot
+          GROUP BY rg.doc_id, tot.tr, tot.tt)
+        SELECT r.doc_id, CAST(coalesce(s.n_grams,0) AS BIGINT) AS n_grams,
+               coalesce(s.log_importance, 0.0) AS log_importance
+        FROM rawd r LEFT JOIN sc s USING (doc_id)
         """,
         "sample_weighted": f"""
         WITH h AS (SELECT lang, doc_id,

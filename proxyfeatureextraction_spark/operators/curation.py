@@ -778,3 +778,98 @@ def chunk_docs(
             "n_words"
         ),
     )
+
+
+def _hashed_gram_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ns: tuple[int, ...],
+    n_buckets: int,
+) -> DataFrame:
+    """(doc_id, bucket) — one row per n-gram OCCURRENCE across all
+    ``ns`` sizes, bucketed by the portable polynomial hash mod
+    ``n_buckets`` (DuckDB-twin exact)."""
+    from proxyfeatureextraction_spark.operators.dedup import (
+        _shingle_col,
+        portable_word_hash,
+    )
+
+    grams = F.concat(*[_shingle_col(text_col, n) for n in ns])
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select(
+        "doc_id", (portable_word_hash(F.col("g")) % F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    ns: tuple[int, ...] = (1, 2),
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-n-gram bag is under
+    the TARGET distribution than under the RAW distribution,
+
+        log w(doc) = sum over gram occurrences of
+                     [ln(cnt_t[b] + a) - ln(cnt_r[b] + a)]
+                     + G_doc * [ln(T_r + aB) - ln(T_t + aB)]
+
+    — the add-``alpha`` smoothed log-likelihood ratio of two bag-of-
+    hashed-ngrams models (unigrams + bigrams by default, ``n_buckets``
+    hash buckets), algebraically refactored so every logarithm's
+    argument is engine-computed from exact integer counts (no
+    driver-side floats enter the data path).  Feed the output to
+    ``weighted_sample_per_group`` (A-ES keys on ``exp(log_w)``), or
+    rank-and-take directly, to reproduce DSIR's importance resampling.
+
+    Scale shape: both bucket-count tables are bounded by ``n_buckets``
+    rows regardless of corpus size and are BROADCAST to the raw-side
+    occurrence stream — the only full-data operations are one explode
+    and one per-doc aggregation, and the exchange carries
+    ``(doc_id, bucket int)``, never gram text.  Totals ride along as a
+    broadcast one-row frame (no driver round-trip in the plan).
+    Returns ``(doc_id, n_grams, log_importance)`` for every raw doc;
+    docs with no grams (empty text) score 0.
+    """
+    if n_buckets <= 0 or alpha <= 0:
+        raise ValueError("n_buckets and alpha must be positive")
+    occ_r = _hashed_gram_buckets(raw, text_col, id_col, ns, n_buckets)
+    occ_t = _hashed_gram_buckets(target, text_col, id_col, ns, n_buckets)
+    cnt_r = occ_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    cnt_t = occ_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    totals = (
+        cnt_r.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+        .crossJoin(cnt_t.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")))
+    )
+    ab = float(alpha) * n_buckets
+    scored = (
+        occ_r.join(F.broadcast(cnt_t), "bucket", "left")
+        .join(F.broadcast(cnt_r), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    - F.log(F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
+                )
+                + F.count(F.lit(1))
+                * (F.log(F.first("tr") + F.lit(ab)) - F.log(F.first("tt") + F.lit(ab))),
+                6,
+            ).alias("log_importance"),
+        )
+    )
+    base = raw.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce("log_importance", F.lit(0.0)).alias("log_importance"),
+    )

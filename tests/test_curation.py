@@ -865,3 +865,70 @@ def test_chunk_docs_windows(spark):
     assert [r["n_words"] for r in dis] == [4, 4, 2]
     with pytest.raises(ValueError):
         chunk_docs(df, max_words=0)
+
+
+def test_dsir_weights_replay_and_ordering(spark):
+    import math
+
+    from proxyfeatureextraction_spark.operators.curation import dsir_weights
+    from proxyfeatureextraction_spark.operators.dedup import HASH_BASE, HASH_MOD
+
+    raw = [
+        (0, "roses are red violets are blue"),
+        (1, "roses are red roses are red"),
+        (2, "stock market quarterly earnings report today"),
+        (3, ""),
+        (4, "solo"),
+    ]
+    tgt = [(100, "roses are red"), (101, "violets are blue roses")]
+    B, A = 64, 1.0
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(tgt, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_weights(rdf, tdf, n_buckets=B, alpha=A).collect()
+    }
+
+    def phash(s):
+        h = 0
+        for c in s:
+            h = (h * HASH_BASE + ord(c)) % HASH_MOD
+        return h
+
+    def grams(text):
+        toks = [w for w in (text or "").split(" ") if w]
+        out = list(toks) if toks else []
+        if len(toks) >= 2:
+            out += [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        elif toks:
+            out += [" ".join(toks)]  # <n collapse quirk: one whole-text 2-shingle
+        return out
+
+    cr, ct = {}, {}
+    for _, t in raw:
+        for g in grams(t):
+            cr[phash(g) % B] = cr.get(phash(g) % B, 0) + 1
+    for _, t in tgt:
+        for g in grams(t):
+            ct[phash(g) % B] = ct.get(phash(g) % B, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    for doc_id, t in raw:
+        gs = [phash(g) % B for g in grams(t)]
+        want = (
+            round(
+                sum(math.log(ct.get(b, 0) + A) - math.log(cr.get(b, 0) + A) for b in gs)
+                + len(gs) * (math.log(tr + A * B) - math.log(tt + A * B)),
+                6,
+            )
+            if gs
+            else 0.0
+        )
+        assert got[doc_id]["n_grams"] == len(gs), doc_id
+        assert got[doc_id]["log_importance"] == pytest.approx(want, abs=1e-6), doc_id
+    # docs made of target-like phrases outrank off-distribution docs
+    assert got[0]["log_importance"] > got[2]["log_importance"]
+    assert got[1]["log_importance"] > got[2]["log_importance"]
+    # empty doc scores 0 with 0 grams
+    assert got[3]["n_grams"] == 0 and got[3]["log_importance"] == 0.0
+    with pytest.raises(ValueError):
+        dsir_weights(rdf, tdf, n_buckets=0)
