@@ -1474,6 +1474,17 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(d, d.filter(F.col("lang") == "en"), n_buckets=512)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): deterministic 16-cell clustering,
+    within-cell eps-similar groups collapsed via connected components,
+    survivor = member least similar to its centroid."""
+    from proxyfeatureextraction_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _table(spark, sf_dir, "embeddings"), eps=0.4, n_cells=16
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any word 8-gram
     with the eval split (doc_id % 20 == 0) are flagged. Eval shingle
@@ -1699,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "chunk_docs": q_chunk_docs,
         "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
@@ -1726,7 +1738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "tumbling_keyed": q_tumbling_keyed,
-        "backfill": q_backfill,
         "lag_lead": q_lag_lead,
         "prefix_cumsum": q_prefix_cumsum,
         "interarrival": q_interarrival,
@@ -1738,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-4 ops that don't fit — green under the local gate  ----
         # ---- replica tools/check_entry.py); they rotate back/in in r5 ----
         "tumbling_global": q_tumbling_global,
+        "backfill": q_backfill,
         "rolling_window": q_rolling_window,
         "flow_pairs_arrays": q_flow_pairs_arrays,
         "rate_series": q_rate_series,
@@ -2877,6 +2889,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.doc_id, CAST(coalesce(s.n_grams,0) AS BIGINT) AS n_grams,
                coalesce(s.log_importance, 0.0) AS log_importance
         FROM rawd r LEFT JOIN sc s USING (doc_id)
+        """,
+        "semantic_dedup": """
+        WITH RECURSIVE e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT vec_id AS cid, v AS cv,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+        ),
+        a0 AS (
+          SELECT e.vec_id, c.cell,
+                 round(list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1]*z[2]))
+                       / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                          * sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) AS cos_c
+          FROM e CROSS JOIN cent c
+        ),
+        asg AS (
+          SELECT vec_id, cell, cos_c AS cent_cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_c DESC, cell ASC) AS pr
+          FROM a0
+        ),
+        a1 AS (SELECT vec_id, cell, cent_cos FROM asg WHERE pr = 1),
+        p AS (
+          SELECT x.vec_id AS va, y.vec_id AS vb,
+                 round(list_sum(list_transform(list_zip(ex.v, ey.v), z -> z[1]*z[2]))
+                       / (sqrt(list_sum(list_transform(ex.v, x -> x*x)))
+                          * sqrt(list_sum(list_transform(ey.v, x -> x*x)))), 6) AS cos
+          FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          JOIN e ex ON ex.vec_id = x.vec_id
+          JOIN e ey ON ey.vec_id = y.vec_id
+        ),
+        jp AS (SELECT va, vb FROM p WHERE cos >= 0.4),
+        edges AS (SELECT va AS u, vb AS v FROM jp UNION SELECT vb, va FROM jp),
+        reach(d, r) AS (
+          SELECT vec_id, vec_id FROM e
+          UNION
+          SELECT reach.d, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u
+        ),
+        cl AS (SELECT d AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY d),
+        lab AS (
+          SELECT a1.vec_id, a1.cell, a1.cent_cos, cl.cluster_rep,
+                 row_number() OVER (PARTITION BY cl.cluster_rep
+                                    ORDER BY a1.cent_cos ASC, a1.vec_id ASC) AS rk
+          FROM a1 JOIN cl USING (vec_id)
+        )
+        SELECT vec_id, cell, cent_cos, cluster_rep, (rk = 1) AS keep FROM lab
         """,
         "sample_weighted": f"""
         WITH h AS (SELECT lang, doc_id,

@@ -411,3 +411,188 @@ def cosine_topk_ivf(
     )
     return _bucketed_topk(assigned, k, max_bucket=max_bucket, chunk_rows=chunk_rows,
                           round_digits=round_digits)
+
+
+def _det_centroid_matrix(base: DataFrame, n_cells: int) -> np.ndarray:
+    """Unit-row centroid matrix from the ``n_cells`` lowest-id vectors
+    (the deterministic init shared with ``cosine_topk_ivf`` — keeps the
+    pipeline oracle-checkable; Lloyd refinement layers on top)."""
+    cent_pdf = (
+        base.orderBy("vec_id")
+        .limit(n_cells)
+        .toPandas()
+        .sort_values("vec_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    if cent_pdf.empty:
+        return np.zeros((0, 0))
+    _, cmat = _normalized_matrix(cent_pdf)
+    return _unit_rows(cmat)
+
+
+def _assign_cells(
+    base: DataFrame, cn: np.ndarray, round_digits: int
+) -> DataFrame:
+    """(vec_id, cell, cent_cos, embedding): each vector's single
+    nearest centroid by rounded cosine (ties to the lower cell id)."""
+    b_cent = base.sparkSession.sparkContext.broadcast(cn)
+
+    def assign(batches):
+        cn_ = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, m = _normalized_matrix(pdf)
+            qn = _unit_rows(m)
+            cos = np.round(qn @ cn_.T, round_digits)
+            cells = np.array(
+                [np.lexsort((np.arange(cn_.shape[0]), -cos[i]))[0] for i in range(len(ids))],
+                dtype=np.int64,
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cells,
+                    "cent_cos": cos[np.arange(len(ids)), cells],
+                    "embedding": pdf["embedding"].to_numpy(),
+                }
+            )
+
+    return base.mapInPandas(
+        assign,
+        schema=T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.LongType()),
+                T.StructField("cent_cos", T.DoubleType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: float = 0.5,
+    n_cells: int | None = None,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = 50_000,
+    chunk_rows: int = 1_024,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then inside each cluster collapse every group of
+    ``eps``-similar vectors to ONE survivor — the member LEAST similar
+    to its cluster centroid (the paper's keep-rule: prototypical
+    near-copies drop, outliers survive), ties to the lower id.
+
+    Returns a total per-vector assignment ``(vec_id, cell, cent_cos,
+    cluster_rep, keep)``: ``cluster_rep`` labels the eps-connected
+    duplicate group (connected components over within-cell pairs —
+    vectors in different cells are never compared, which is exactly
+    SemDeDup's clustering approximation), ``keep`` marks survivors.
+
+    Scale shape: centroids are the ``n_cells`` lowest ids (auto-sized
+    at √n like the IVF route when ``None``), optionally refined with
+    ``iterations`` Lloyd rounds — each round is one distributed
+    assign + per-(cell, dim) mean, with only the O(cells × dim)
+    centroid matrix ever collected/broadcast.  Pairwise similarity is
+    confined to cells (``max_cell`` drops degenerate hot cells — same
+    guard as the ANN tail; ``chunk_rows`` bounds kernel memory), the
+    duplicate groups collapse through the same large-star/small-star
+    ``dedup_clusters`` machinery as the text routes, and the keep-rule
+    is one window over ``(cluster_rep)``.  Cosines are rounded to
+    ``round_digits`` BEFORE thresholding so the SQL oracle ranks and
+    thresholds identically.
+    """
+    from proxyfeatureextraction_spark.operators.dedup import dedup_clusters
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if n_cells is None:
+        import math
+
+        n_total = base.count()
+        n_cells = max(16, math.isqrt(max(n_total - 1, 0)) + 1)
+        n_cells = min(n_cells, max(n_total, 1))
+    cn = _det_centroid_matrix(base, n_cells)
+    if cn.size == 0:
+        return base.sparkSession.createDataFrame(
+            [],
+            "vec_id long, cell long, cent_cos double, cluster_rep long, keep boolean",
+        )
+    for _ in range(iterations):
+        assigned = _assign_cells(base, cn, round_digits)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cn.copy()  # cells that lose every member keep their centroid
+        upd: dict[int, np.ndarray] = {}
+        for r in means:
+            upd.setdefault(r["cell"], np.zeros(cn.shape[1]))[r["pos"]] = r["m"]
+        for cell, v in upd.items():
+            new[cell] = v
+        cn = _unit_rows(new)
+    assigned = _assign_cells(base, cn, round_digits)
+
+    cells = assigned
+    if max_cell is not None:
+        from pyspark.sql import Window as W
+
+        cells = (
+            cells.withColumn("_cn", F.count(F.lit(1)).over(W.partitionBy("cell")))
+            .filter(F.col("_cn") <= max_cell)
+            .drop("_cn")
+        )
+
+    pair_schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+
+    def cell_pairs(key, pdf: pd.DataFrame):
+        del key
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+        ids, m = _normalized_matrix(pdf)
+        mn = _unit_rows(m)
+        n = len(ids)
+        out_a, out_b = [], []
+        for i0 in range(0, n, chunk_rows):
+            i1 = min(i0 + chunk_rows, n)
+            sims = np.round(mn[i0:i1] @ mn.T, round_digits)
+            for j in range(i1 - i0):
+                hit = np.flatnonzero((sims[j] >= eps) & (ids > ids[i0 + j]))
+                if hit.size:
+                    out_a.append(np.full(hit.size, ids[i0 + j]))
+                    out_b.append(ids[hit])
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    edges = cells.select("cell", "vec_id", "embedding").groupBy("cell").applyInPandas(
+        cell_pairs, schema=pair_schema
+    )
+    clusters = dedup_clusters(
+        edges, nodes=base.select(F.col("vec_id")), a_col="a", b_col="b", id_col="vec_id"
+    )
+    labeled = assigned.select("vec_id", "cell", "cent_cos").join(
+        clusters, "vec_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_rep").orderBy(F.asc("cent_cos"), F.asc("vec_id"))
+    return (
+        labeled.withColumn("_rk", F.row_number().over(w))
+        .withColumn("keep", F.col("_rk") == 1)
+        .drop("_rk")
+        .select("vec_id", "cell", "cent_cos", "cluster_rep", "keep")
+    )

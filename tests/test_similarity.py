@@ -238,3 +238,55 @@ def test_bruteforce_empty_input_returns_empty(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert cosine_topk_bruteforce(empty, k=3).count() == 0
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup keeps the group member LEAST similar to its centroid
+    (ties to the lower id); singletons survive; eps=1.01 keeps all."""
+    from proxyfeatureextraction_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        # cell seeds (lowest ids become centroids)
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        # near-dup pair aligned with centroid 0: 10 exactly on it,
+        # 11 slightly off -> 11 has LOWER cent_cos and must survive
+        (10, [2.0, 0.0, 0.0, 0.0]),
+        (11, [0.9, 0.1, 0.0, 0.0]),
+        # singleton in cell 1
+        (20, [0.1, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r.asDict() for r in semantic_dedup(df, eps=0.95, n_cells=2).collect()}
+    assert len(got) == 5  # total assignment
+    # 0 and 10 are identical directions -> same cluster, rep = 0
+    assert got[10]["cluster_rep"] == 0
+    assert got[11]["cluster_rep"] == 0  # transitively via 10 (cos(0,11) ~ .994)
+    grp = [v for v in got.values() if v["cluster_rep"] == 0]
+    keepers = [v["vec_id"] for v in grp if v["keep"]]
+    least = min(grp, key=lambda v: (v["cent_cos"], v["vec_id"]))
+    assert keepers == [least["vec_id"]] == [11]
+    # singleton survives
+    assert got[20]["keep"]
+    # eps above 1.0: no pairs at all, everyone survives as own rep
+    all_keep = semantic_dedup(df, eps=1.01, n_cells=2).collect()
+    assert all(r["keep"] and r["cluster_rep"] == r["vec_id"] for r in all_keep)
+
+
+def test_semantic_dedup_lloyd_total_assignment(spark):
+    """Lloyd refinement must preserve the total-assignment contract
+    and keep exact duplicates collapsed."""
+    from proxyfeatureextraction_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.5])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, eps=0.999, n_cells=3, iterations=2).collect()
+    assert len(out) == 12
+    assert sorted({r["vec_id"] for r in out}) == list(range(12))
+    # the three direction groups are exact dups within a cell: one survivor each
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r["cluster_rep"], []).append(r)
+    for rep, members in by_rep.items():
+        assert sum(m["keep"] for m in members) == 1
