@@ -1485,6 +1485,16 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle into 8 shards: seeded-hash
+    shard + dense within-shard position; one exchange, per-shard sort."""
+    from proxyfeatureextraction_spark.operators.curation import shuffle_shards
+
+    return shuffle_shards(
+        _table(spark, sf_dir, "documents"), n_shards=8, seed=3
+    ).select("doc_id", "shard", "shard_pos")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any word 8-gram
     with the eval split (doc_id % 20 == 0) are flagged. Eval shingle
@@ -1711,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        "shuffle_shards": q_shuffle_shards,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
@@ -1738,7 +1749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "tumbling_keyed": q_tumbling_keyed,
-        "lag_lead": q_lag_lead,
         "prefix_cumsum": q_prefix_cumsum,
         "interarrival": q_interarrival,
         "interval_join": q_interval_join,
@@ -1750,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- replica tools/check_entry.py); they rotate back/in in r5 ----
         "tumbling_global": q_tumbling_global,
         "backfill": q_backfill,
+        "lag_lead": q_lag_lead,
         "rolling_window": q_rolling_window,
         "flow_pairs_arrays": q_flow_pairs_arrays,
         "rate_series": q_rate_series,
@@ -2625,6 +2636,15 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "hash_split": _hash_split_oracle(),
+        "shuffle_shards": f"""
+        WITH h AS (SELECT doc_id, {_id_hash_sql('doc_id', seed=3)} AS hh
+                   FROM documents)
+        SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+               CAST(row_number() OVER (PARTITION BY hh % 8
+                                       ORDER BY hh, doc_id) AS BIGINT)
+               AS shard_pos
+        FROM h
+        """,
         "sample_per_group": f"""
         WITH h AS (SELECT lang, doc_id, {_id_hash_sql('doc_id', seed=3)} AS hh
                    FROM documents),

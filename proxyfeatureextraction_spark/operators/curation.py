@@ -873,3 +873,41 @@ def dsir_weights(
         F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
         F.coalesce("log_importance", F.lit(0.0)).alias("log_importance"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment —
+    the RNG-free equivalent of "shuffle the corpus, split into N
+    files" that every epoch-0 data loader expects.  Each row lands in
+    ``shard = h(id) % n_shards`` and gets a dense ``shard_pos`` by the
+    seeded hash order (ties by id), so the full ordering is
+    reproducible from ``(seed, n_shards)`` alone, stable under input
+    re-partitioning, and re-seedable per epoch (the seed enters the
+    hash MULTIPLIER via ``perm_params`` — different seeds give
+    genuinely different permutations, not rotations).
+
+    Scale shape: one exchange on ``shard`` and a per-shard sort — the
+    exact physical pattern of the eventual sharded write
+    (``repartition(n_shards, shard) .sortWithinPartitions``), so the
+    plan in front of the sink adds nothing beyond the write itself.
+    ``shard_pos`` comes from a window over the shard, which is one
+    sorted pass over each (bounded, corpus/n_shards-sized) partition.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = _id_hash(id_col, seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

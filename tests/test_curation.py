@@ -932,3 +932,64 @@ def test_dsir_weights_replay_and_ordering(spark):
     assert got[3]["n_grams"] == 0 and got[3]["log_importance"] == 0.0
     with pytest.raises(ValueError):
         dsir_weights(rdf, tdf, n_buckets=0)
+
+
+def test_round4_stateless_ops_stream_parity(spark, docs, tmp_path):
+    """clean_lines and chunk_docs are per-row (HOFs + a generator), so
+    they must run unchanged on a readStream — ingest-time boilerplate
+    stripping and chunking without a separate batch pass."""
+    from proxyfeatureextraction_spark.operators.curation import chunk_docs, clean_lines
+
+    path = str(tmp_path / "r4_src")
+    docs.write.mode("overwrite").parquet(path)
+
+    def pipe(df):
+        cleaned = clean_lines(df, min_words_per_line=2)
+        return chunk_docs(cleaned, max_words=16, stride=12)
+
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        pipe(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("r4_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    keys = ["doc_id", "chunk_id"]
+    got = spark.table("r4_stream").toPandas().sort_values(keys).reset_index(drop=True)
+    exp = pipe(spark.read.parquet(path)).toPandas().sort_values(keys).reset_index(drop=True)
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_shuffle_shards_deterministic_dense(spark):
+    from proxyfeatureextraction_spark.operators.curation import shuffle_shards
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, n_shards=4, seed=1).collect()
+    b = shuffle_shards(df.repartition(7), n_shards=4, seed=1).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["shard_pos"]) for r in rows)
+    # deterministic and stable under input re-partitioning
+    assert key(a) == key(b) and len(a) == 200
+    # dense 1..n positions inside every shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed is a genuinely different permutation
+    c = shuffle_shards(df, n_shards=4, seed=2).collect()
+    assert key(a) != key(c)
+    moved = sum(
+        1
+        for (d1, s1, _), (d2, s2, _) in zip(
+            sorted((r["doc_id"], r["shard"], 0) for r in a),
+            sorted((r["doc_id"], r["shard"], 0) for r in c),
+        )
+        if s1 != s2
+    )
+    assert moved > 50  # not a rotation: most rows change shard
+    with pytest.raises(ValueError):
+        shuffle_shards(df, n_shards=0)
