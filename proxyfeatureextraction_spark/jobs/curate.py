@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--pack-tokens", type=int, default=0,
                     help="pack kept train docs into bins of this many tokens (0 = skip)")
     ap.add_argument("--pack-shards", type=int, default=256)
+    ap.add_argument("--order-shards", type=int, default=0,
+                    help="also write kept train docs in deterministic "
+                         "training order across this many shards (0 = skip)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -105,6 +108,23 @@ def main(argv: list[str] | None = None) -> None:
             .distinct()
             .count()
         )
+    if args.order_shards > 0:
+        from proxyfeatureextraction_spark.operators.curation import shuffle_shards
+
+        kept_train = curated.filter(F.col("keep") & (F.col("split") == "train"))
+        ordered = shuffle_shards(kept_train, n_shards=args.order_shards,
+                                 seed=args.seed)
+        # physical layout == logical order: one file per shard, rows
+        # pre-sorted by shard_pos, so the data loader streams shards
+        # sequentially with zero read-time shuffling
+        (
+            ordered.repartition(args.order_shards, "shard")
+            .sortWithinPartitions("shard", "shard_pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{args.output}/train_ordered")
+        )
+        summary["order_shards"] = args.order_shards
     labels.unpersist()
     print(json.dumps(summary))
 

@@ -993,3 +993,45 @@ def test_shuffle_shards_deterministic_dense(spark):
     assert moved > 50  # not a rotation: most rows change shard
     with pytest.raises(ValueError):
         shuffle_shards(df, n_shards=0)
+
+
+def test_curate_job_ordered_shards(spark, tmp_path):
+    """--order-shards writes kept train docs in deterministic training
+    order: shard-partitioned, dense shard_pos, reproducible from seed."""
+    import json
+
+    from proxyfeatureextraction_spark.jobs.curate import main
+
+    src = str(tmp_path / "docs_src2")
+    ev = str(tmp_path / "eval_src2")
+    rows = [
+        (i, " ".join(f"w{(i * 13 + j) % 97}" for j in range(30)) + " the a and of it",
+         "en", "s0", 0)
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(900, "completely disjoint eval text with zero overlapping grams here at all",
+          "en", "s0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(ev)
+    out = str(tmp_path / "curated2")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main([
+            "--input", src, "--eval", ev, "--output", out,
+            "--weights", "train=1.0", "--order-shards", "4", "--seed", "7",
+        ])
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["order_shards"] == 4
+    ordered = spark.read.parquet(f"{out}/train_ordered")
+    kept = summary["reasons"].get("kept", 0)
+    assert kept > 0 and ordered.count() == kept
+    pdf = ordered.select("shard", "shard_pos", "doc_id").toPandas()
+    for shard, grp in pdf.groupby("shard"):
+        assert sorted(grp["shard_pos"]) == list(range(1, len(grp) + 1))
