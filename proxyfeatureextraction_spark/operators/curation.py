@@ -840,6 +840,8 @@ def dsir_weights(
     """
     if n_buckets <= 0 or alpha <= 0:
         raise ValueError("n_buckets and alpha must be positive")
+    if not ns:
+        raise ValueError("ns must name at least one n-gram size")
     occ_r = _hashed_gram_buckets(raw, text_col, id_col, ns, n_buckets)
     occ_t = _hashed_gram_buckets(target, text_col, id_col, ns, n_buckets)
     cnt_r = occ_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
@@ -897,6 +899,10 @@ def shuffle_shards(
     plan in front of the sink adds nothing beyond the write itself.
     ``shard_pos`` comes from a window over the shard, which is one
     sorted pass over each (bounded, corpus/n_shards-sized) partition.
+
+    ``id_col`` must be unique: rows sharing an id hash identically, so
+    their relative ``shard_pos`` (within the same shard) would be
+    arbitrary. Dedup or synthesize a surrogate id first.
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")

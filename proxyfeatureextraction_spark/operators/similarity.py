@@ -510,6 +510,12 @@ def semantic_dedup(
     """
     from proxyfeatureextraction_spark.operators.dedup import dedup_clusters
 
+    # explicit None checks: 0 must be rejected, not silently treated as
+    # "auto" (the falsy-guard class the round-3 advisor flagged)
+    if n_cells is not None and n_cells <= 0:
+        raise ValueError("n_cells must be positive (or None for auto-√n)")
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )

@@ -1035,3 +1035,11 @@ def test_curate_job_ordered_shards(spark, tmp_path):
     pdf = ordered.select("shard", "shard_pos", "doc_id").toPandas()
     for shard, grp in pdf.groupby("shard"):
         assert sorted(grp["shard_pos"]) == list(range(1, len(grp) + 1))
+
+
+def test_dsir_rejects_empty_ns(spark):
+    from proxyfeatureextraction_spark.operators.curation import dsir_weights
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_weights(df, df, ns=())

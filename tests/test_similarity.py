@@ -290,3 +290,13 @@ def test_semantic_dedup_lloyd_total_assignment(spark):
         by_rep.setdefault(r["cluster_rep"], []).append(r)
     for rep, members in by_rep.items():
         assert sum(m["keep"] for m in members) == 1
+
+
+def test_semantic_dedup_rejects_bad_params(spark):
+    from proxyfeatureextraction_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        semantic_dedup(df, n_cells=0)
+    with pytest.raises(ValueError):
+        semantic_dedup(df, iterations=-1)
