@@ -402,18 +402,22 @@ def gopher_repetition(
 
     def _grams(n: int) -> Column:
         w = F.col("_w")
-        return F.when(
+        # two-level transform so each gram STRING is built once and the
+        # inner lambda binds it (hash + length share the same build)
+        gs = F.when(
             F.size(w) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(w) - n + 1),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.xxhash64(F.array_join(F.slice(w, i, n), " ")).alias("h"),
-                    F.length(F.array_join(F.slice(w, i, n), " ")).alias("glen"),
-                ),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
             ),
-        ).otherwise(
-            F.array().cast("array<struct<n:int,h:bigint,glen:int>>")
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            gs,
+            lambda g: F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(g).alias("h"),
+                F.length(g).alias("glen"),
+            ),
         )
 
     base = df.select(

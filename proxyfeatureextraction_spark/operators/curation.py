@@ -786,21 +786,26 @@ def _hashed_gram_buckets(
     id_col: str,
     ns: tuple[int, ...],
     n_buckets: int,
+    portable: bool = True,
 ) -> DataFrame:
     """(doc_id, bucket) — one row per n-gram OCCURRENCE across all
-    ``ns`` sizes, bucketed by the portable polynomial hash mod
-    ``n_buckets`` (DuckDB-twin exact)."""
+    ``ns`` sizes.  ``portable=True`` buckets by the polynomial char
+    hash (DuckDB-twin exact; what the driver gate uses);
+    ``portable=False`` buckets by JVM ``xxhash64`` — ~2x faster since
+    it skips the per-char fold, same statistical behavior, for
+    production runs that don't need a SQL oracle twin."""
     from proxyfeatureextraction_spark.operators.dedup import (
         _shingle_col,
         portable_word_hash,
     )
 
     grams = F.concat(*[_shingle_col(text_col, n) for n in ns])
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
-    ).select(
-        "doc_id", (portable_word_hash(F.col("g")) % F.lit(n_buckets)).alias("bucket")
-    )
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+    if portable:
+        bucket = portable_word_hash(F.col("g")) % F.lit(n_buckets)
+    else:
+        bucket = F.pmod(F.xxhash64(F.col("g")), F.lit(n_buckets))
+    return ex.select("doc_id", bucket.alias("bucket"))
 
 
 def dsir_weights(
@@ -811,6 +816,7 @@ def dsir_weights(
     alpha: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -842,8 +848,8 @@ def dsir_weights(
         raise ValueError("n_buckets and alpha must be positive")
     if not ns:
         raise ValueError("ns must name at least one n-gram size")
-    occ_r = _hashed_gram_buckets(raw, text_col, id_col, ns, n_buckets)
-    occ_t = _hashed_gram_buckets(target, text_col, id_col, ns, n_buckets)
+    occ_r = _hashed_gram_buckets(raw, text_col, id_col, ns, n_buckets, portable)
+    occ_t = _hashed_gram_buckets(target, text_col, id_col, ns, n_buckets, portable)
     cnt_r = occ_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     cnt_t = occ_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     totals = (

@@ -1043,3 +1043,22 @@ def test_dsir_rejects_empty_ns(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dsir_weights(df, df, ns=())
+
+
+def test_dsir_fast_path_matches_gram_counts(spark):
+    """portable=False swaps the bucket hash (xxhash64) — scores shift
+    with the bucketing but per-doc gram counts and determinism hold."""
+    from proxyfeatureextraction_spark.operators.curation import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tgt = raw.filter("doc_id < 5")
+    slow = dsir_weights(raw, tgt, n_buckets=64).toPandas().set_index("doc_id")
+    fast1 = dsir_weights(raw, tgt, n_buckets=64, portable=False).toPandas().set_index("doc_id")
+    fast2 = dsir_weights(raw, tgt, n_buckets=64, portable=False).toPandas().set_index("doc_id")
+    assert fast1.equals(fast2)  # deterministic
+    assert (slow["n_grams"] == fast1["n_grams"]).all()
+    # same-shaped signal: target members outrank the non-target tail
+    assert fast1.loc[0, "log_importance"] >= fast1["log_importance"].min()
