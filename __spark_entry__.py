@@ -1425,10 +1425,17 @@ def q_gopher_repetition(spark, sf_dir):
     line/paragraph fractions (pure HOFs) plus top-2/3/4-gram and
     dup-5..10-gram character fractions via ONE digest-keyed explode
     (the exchange carries (doc_id, n, xxhash64, len) — never gram
-    text). Runs on line-injected docs so line signals are exercised."""
+    text). Runs on line-injected docs so line signals are exercised.
+    The fixture is a single parquet split, so the wrapper repartitions
+    before the explode-heavy map side — the shape a multi-split
+    production input has for free. Value-safe for the gate: every
+    pre-division aggregate here is an integer count."""
     from proxyfeatureextraction_spark.functions.text import gopher_repetition
 
-    return gopher_repetition(_docs_with_lines(spark, sf_dir))
+    docs = _docs_with_lines(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return gopher_repetition(docs)
 
 
 def q_clean_lines(spark, sf_dir):
