@@ -691,6 +691,18 @@ def _shingle_list_sql(toks_expr: str, n: int) -> str:
                     ELSE [] END"""
 
 
+def _strict_gram_sql(toks_expr: str, n: int) -> str:
+    """DuckDB twin of dsir_weights' STRICT n-grams: docs shorter than
+    ``n`` words contribute no n-grams of that size (no whole-text
+    fallback, unlike the dedup shingles)."""
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} "
+        f"THEN list_transform(range(1, len({toks_expr}) - {n} + 2), "
+        f"i -> array_to_string(({toks_expr})[i:i+{n - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def _id_hash_sql(expr: str, seed: int = 0) -> str:
     """DuckDB twin of operators.curation._id_hash (seed-keyed affine
     map from perm_params; id reduced mod M before the multiply —
@@ -1392,10 +1404,12 @@ def q_mix_corpus(spark, sf_dir):
 def q_gopher_quality(spark, sf_dir):
     """Gopher rule-based quality signals (Rae et al. 2021 §A1.1.1):
     word stats, symbol/alpha ratios, stopword hits, bullet/ellipsis
-    line ratios, and the pass/fail conjunction — all JVM HOFs."""
+    line ratios, and the pass/fail conjunction — all JVM HOFs. Runs on
+    line-injected docs so the \\s+ word split (not single spaces) is
+    exercised across line boundaries."""
     from proxyfeatureextraction_spark.functions.text import gopher_quality
 
-    d = _table(spark, sf_dir, "documents")
+    d = _docs_with_lines(spark, sf_dir)
     sig = gopher_quality("text")
     return d.select(
         "doc_id", *[c.alias(name) for name, c in sig.items()]
@@ -2677,15 +2691,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST({_id_hash_sql('d.doc_id', seed=5)} AS DOUBLE)
               < k.keep * 1000000007.0
         """,
-        "gopher_quality": """
-        WITH t AS (
+        "gopher_quality": rf"""
+        WITH d AS (SELECT doc_id, {_INJECT_LINES_SQL} AS txt0 FROM documents),
+        t AS (
           SELECT doc_id,
-                 coalesce(text, '') AS txt,
-                 list_filter(string_split(coalesce(text, ''), ' '),
+                 txt0 AS txt,
+                 list_filter(regexp_split_to_array(txt0, '\s+'),
                              w -> length(w) > 0) AS toks,
-                 list_filter(string_split(coalesce(text, ''), chr(10)),
+                 list_filter(string_split(txt0, chr(10)),
                              l -> length(l) > 0) AS lns
-          FROM documents
+          FROM d
         ),
         m AS (
           SELECT doc_id,
@@ -2882,23 +2897,24 @@ def oracle_sql() -> dict[str, str]:
                least(40, nw - t.k * 30) AS n_words
         FROM n, UNNEST(range(0, n_chunks)) AS t(k)
         """,
-        "dsir_weights": f"""
+        "dsir_weights": rf"""
         WITH rawd AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
         rtk AS (SELECT doc_id,
-                       list_filter(string_split(t,' '),
+                       list_filter(regexp_split_to_array(t, '\s+'),
                                    x -> length(x)>0) AS toks
                 FROM rawd),
         ttk AS (SELECT doc_id,
-                       list_filter(string_split(coalesce(text,''),' '),
+                       list_filter(regexp_split_to_array(coalesce(text,''),
+                                                         '\s+'),
                                    x -> length(x)>0) AS toks
                 FROM documents WHERE lang = 'en'),
         rg AS (SELECT doc_id, {_word_hash_sql('u.g')} % 512 AS bucket
-               FROM rtk, UNNEST(list_concat({_shingle_list_sql('toks', 1)},
-                                            {_shingle_list_sql('toks', 2)}))
+               FROM rtk, UNNEST(list_concat({_strict_gram_sql('toks', 1)},
+                                            {_strict_gram_sql('toks', 2)}))
                          AS u(g)),
         tg AS (SELECT doc_id, {_word_hash_sql('u.g')} % 512 AS bucket
-               FROM ttk, UNNEST(list_concat({_shingle_list_sql('toks', 1)},
-                                            {_shingle_list_sql('toks', 2)}))
+               FROM ttk, UNNEST(list_concat({_strict_gram_sql('toks', 1)},
+                                            {_strict_gram_sql('toks', 2)}))
                          AS u(g)),
         cr AS (SELECT bucket, count(*) AS cr FROM rg GROUP BY bucket),
         ct AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY bucket),
@@ -2964,7 +2980,9 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY a1.cent_cos ASC, a1.vec_id ASC) AS rk
           FROM a1 JOIN cl USING (vec_id)
         )
-        SELECT vec_id, cell, cent_cos, cluster_rep, (rk = 1) AS keep FROM lab
+        SELECT vec_id, cell, cent_cos, cluster_rep, (rk = 1) AS keep,
+               false AS capped
+        FROM lab
         """,
         "sample_weighted": f"""
         WITH h AS (SELECT lang, doc_id,

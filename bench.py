@@ -97,7 +97,7 @@ def main() -> None:
         "pack_sequences", "curate_corpus", "corpus_report", "hash_split",
         "sample_weighted", "mix_corpus", "gopher_quality",
         "gopher_repetition", "clean_lines", "dedup_lines", "chunk_docs",
-        "dsir_weights", "semantic_dedup",
+        "dsir_weights", "semantic_dedup", "shuffle_shards",
     ]
     extras: dict[str, float] = {}
     for name in extra:

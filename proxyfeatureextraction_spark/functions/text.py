@@ -185,10 +185,14 @@ def gopher_quality(text_col: str = "text") -> dict[str, Column]:
       lines, ≤ 30% ellipsis lines)
 
     Ratios are rounded to 6 digits (oracle portability); every signal
-    is null-safe (null text behaves like empty text).
+    is null-safe (null text behaves like empty text).  Words split on
+    ``\\s+`` (not single spaces): this operator is line-aware by
+    design, and a space-only split would glue the last word of each
+    line to the first word of the next, undercounting words and
+    stopword hits on exactly the multi-line prose it targets.
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    t = F.filter(F.split(txt, " "), lambda w: F.length(w) > 0)
+    t = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
     nw = F.size(t)
     nw_d = F.greatest(nw.cast("double"), F.lit(1.0))
     mean_len = F.round(

@@ -191,6 +191,11 @@ def mix_corpus(
     oracle)."""
     if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError("mix_corpus weights must be non-negative with a positive sum")
+    # weight 0 MEANS "drop this group" — filter those entries up front
+    # so a corpus whose every present group has weight 0 yields a
+    # well-defined empty result instead of a 0/0 → NULL keep fraction
+    # silently dropping all rows (non-ANSI division semantics)
+    weights = {k: v for k, v in weights.items() if v > 0}
     wmap = F.create_map(
         *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
     )
@@ -755,6 +760,11 @@ def chunk_docs(
     """
     if stride <= 0 or max_words <= 0:
         raise ValueError("max_words and stride must be positive")
+    if stride > max_words:
+        # gapped chunking would skip words AND emit phantom chunks with
+        # empty text / negative n_words past the last covered word —
+        # it contradicts the full-coverage contract above, so refuse
+        raise ValueError("stride must be <= max_words (gapless coverage)")
     txt = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
     base = df.select(
@@ -793,13 +803,28 @@ def _hashed_gram_buckets(
     hash (DuckDB-twin exact; what the driver gate uses);
     ``portable=False`` buckets by JVM ``xxhash64`` — ~2x faster since
     it skips the per-char fold, same statistical behavior, for
-    production runs that don't need a SQL oracle twin."""
-    from proxyfeatureextraction_spark.operators.dedup import (
-        _shingle_col,
-        portable_word_hash,
-    )
+    production runs that don't need a SQL oracle twin.
 
-    grams = F.concat(*[_shingle_col(text_col, n) for n in ns])
+    STRICT n-grams: words split on ``\\s+`` and a doc shorter than
+    ``n`` words contributes NO n-grams of that size — unlike the dedup
+    shingles' whole-text fallback, which would double-count a short
+    doc's text once per requested size and skew DSIR's likelihood
+    ratio for exactly the docs with the least evidence."""
+    from proxyfeatureextraction_spark.operators.dedup import portable_word_hash
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
+
+    def _strict(n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.concat(*[_strict(n) for n in ns])
     ex = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
     if portable:
         bucket = portable_word_hash(F.col("g")) % F.lit(n_buckets)

@@ -143,12 +143,30 @@ def exact_dedup(
         df.select(F.col(id_col), dh.alias("_dh"), ds.alias("_ds"))
         .groupBy("_dh", "_ds")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("copies"))
-        .drop("_dh", "_ds")
     )
     if not with_text:
-        return groups
-    rep_text = df.select(F.col(id_col).alias("keep_id"), F.col(text_col))
-    return groups.join(rep_text, "keep_id").select(text_col, "keep_id", "copies")
+        return groups.drop("_dh", "_ds")
+    # recover text by (keep_id, digest) — NOT keep_id alone: a reused id
+    # with different text would fan the join out (the old groupBy(text)
+    # was immune to id collisions; the digest keys restore that), and
+    # exact duplicate (id, text) rows collapse via the digest-keyed
+    # dropDuplicates over the (small) one-row-per-group result
+    rep_text = df.select(
+        F.col(id_col).alias("keep_id"), dh.alias("_rh"), ds.alias("_rs"),
+        F.col(text_col),
+    )
+    # eqNullSafe: a NULL text digests to NULL, and the group of NULL
+    # texts must still find its representative row
+    cond = (
+        (groups["keep_id"] == rep_text["keep_id"])
+        & groups["_dh"].eqNullSafe(rep_text["_rh"])
+        & groups["_ds"].eqNullSafe(rep_text["_rs"])
+    )
+    return (
+        groups.join(rep_text, cond)
+        .dropDuplicates(["_dh", "_ds"])
+        .select(text_col, groups["keep_id"], "copies")
+    )
 
 
 def jaccard_pairs(
@@ -472,8 +490,12 @@ def band_signature_store(
         {"_dh": dh, "_ds": ds}
     )
     reps = base.groupBy("_dh", "_ds").agg(F.min("doc_id").alias("doc_id"))
-    rep_docs = reps.join(base.select("doc_id", "_t"), "doc_id").select(
-        "doc_id", "_dh", "_ds", F.col("_t").alias("text")
+    # join back on (doc_id, digest) and digest-dedup so a reused doc id
+    # or an exactly duplicated row can't fan the store out
+    rep_docs = (
+        reps.join(base, ["doc_id", "_dh", "_ds"])
+        .dropDuplicates(["_dh", "_ds"])
+        .select("doc_id", "_dh", "_ds", F.col("_t").alias("text"))
     )
     sigs = band_signatures(
         rep_docs, n_perm=n_perm, bands=bands, id_col="doc_id",
@@ -497,17 +519,28 @@ def _validate_sig_store(
     consumer's and strip the metadata columns."""
     meta_cols = {"n_perm", "bands", "shingle"} & set(store.columns)
     if meta_cols:
-        row = store.select(*sorted(meta_cols)).first()
+        # check EVERY distinct parameter combination, not just the first
+        # row: a store directory that accumulated two builds (or a read
+        # over two store paths) would otherwise pass on whichever row
+        # .first() happened to return while the incompatible rows
+        # silently corrupt candidate generation
+        rows = store.select(*sorted(meta_cols)).distinct().limit(2).collect()
+        if len(rows) > 1:
+            raise ValueError(
+                f"band signature store holds MIXED parameters "
+                f"({[r.asDict() for r in rows]}...): it mingles incompatible "
+                f"builds — rebuild it into a clean path."
+            )
         want = {
             "n_perm": n_perm,
             "bands": bands,
             "shingle": -1 if shingle is None else shingle,
         }
         for c in sorted(meta_cols):
-            if row is not None and row[c] != want[c]:
+            if rows and rows[0][c] != want[c]:
                 raise ValueError(
-                    f"band signature store was built with {c}={row[c]} but the "
-                    f"consumer wants {c}={want[c]}: signatures are not "
+                    f"band signature store was built with {c}={rows[0][c]} but "
+                    f"the consumer wants {c}={want[c]}: signatures are not "
                     f"comparable — rebuild the store with matching parameters."
                 )
     return store.select("_dh", "_ds", "band", "sig")
@@ -559,29 +592,46 @@ def minhash_lsh_candidates(
     if collapse_exact:
         # digest-keyed collapse: the exchange groups on (xxhash64, sha2)
         # of the text, never the text itself; representative rows are
-        # recovered by a keep-id equi-join (long key, text as payload)
+        # recovered by a (keep-id, digest) equi-join — the digest in the
+        # key keeps a reused doc id from fanning the join out, and the
+        # digest columns are CARRIED into ``base`` so the signature-store
+        # lookup below reuses them instead of re-hashing every document
         dh, ds = _digest(text_col)
+        keyed0 = df.select(
+            F.col(id_col),
+            F.col(text_col),
+            dh.alias("_dh"),
+            ds.alias("_ds"),
+            *([F.col(flag_col)] if flag_col is not None else []),
+        )
         aggs = [F.min(id_col).alias(id_col)]
         if flag_col is not None:
             aggs.append(F.max(F.col(flag_col).cast("int")).cast("boolean").alias(flag_col))
-        keep = (
-            df.select(
-                F.col(id_col),
-                dh.alias("_dh"),
-                ds.alias("_ds"),
-                *([F.col(flag_col)] if flag_col is not None else []),
-            )
-            .groupBy("_dh", "_ds")
-            .agg(*aggs)
-            .drop("_dh", "_ds")
+        keep = keyed0.drop(text_col).groupBy("_dh", "_ds").agg(*aggs)
+        rep_side = keyed0.select(
+            F.col(id_col).alias("_rid"), F.col("_dh").alias("_rh"),
+            F.col("_ds").alias("_rs"), F.col(text_col),
         )
-        base = keep.join(df.select(id_col, text_col), id_col)
+        # eqNullSafe so the NULL-text group keeps its representative
+        cond = (
+            (keep[id_col] == rep_side["_rid"])
+            & keep["_dh"].eqNullSafe(rep_side["_rh"])
+            & keep["_ds"].eqNullSafe(rep_side["_rs"])
+        )
+        base = (
+            keep.join(rep_side, cond)
+            .dropDuplicates(["_dh", "_ds"])
+            .drop("_rid", "_rh", "_rs")
+        )
     if precomputed_bands is not None:
         # reuse stored signatures for texts whose digest is already in
         # the store (``band_signature_store``); minhash only the rest
         store = _validate_sig_store(precomputed_bands, n_perm, bands, shingle)
-        dh, ds = _digest(text_col)
-        keyed = base.withColumns({"_dh": dh, "_ds": ds})
+        if "_dh" in base.columns:
+            keyed = base  # digests already carried by the collapse step
+        else:
+            dh, ds = _digest(text_col)
+            keyed = base.withColumns({"_dh": dh, "_ds": ds})
         known = keyed.join(store, ["_dh", "_ds"]).select(
             F.col(id_col).alias("doc_id"), "band", "sig"
         )
@@ -889,9 +939,18 @@ def dedup_corpus(
         .filter(F.col("doc_id") != F.col("_rep"))
         .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    rep_docs = base.join(
-        reps.select(F.col("_rep").alias("doc_id")), "doc_id", "left_semi"
-    ).select("doc_id", F.col("_t").alias("text"))
+    # semi-join on (doc_id, digest): a reused doc id with different text
+    # matches only its own digest group's rep row; digest-dedup collapses
+    # exactly duplicated input rows
+    rep_docs = (
+        base.join(
+            reps.select(F.col("_rep").alias("doc_id"), "_dh", "_ds"),
+            ["doc_id", "_dh", "_ds"],
+            "left_semi",
+        )
+        .dropDuplicates(["_dh", "_ds"])
+        .select("doc_id", F.col("_t").alias("text"))
+    )
     if method not in ("auto", "exact", "scalable"):
         raise ValueError(method)
     if method == "exact" and shingle is not None:
@@ -984,15 +1043,18 @@ def dedup_incremental(
         )
         .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    # group stats on the digest; representative text recovered by one
-    # keep-id equi-join (long key, text as payload)
+    # group stats on the digest; representative text recovered by a
+    # (keep-id, digest) equi-join — the digest keys keep a doc id reused
+    # across batch and corpus (two id spaces!) from fanning the join
+    # out, and digest-dedup collapses exactly duplicated rows
     rep_docs = (
         union.groupBy("_dh", "_ds")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.max(F.col("_new").cast("int")).cast("boolean").alias("_new"),
         )
-        .join(union.select("doc_id", "_t"), "doc_id")
+        .join(union.select("doc_id", "_dh", "_ds", "_t"), ["doc_id", "_dh", "_ds"])
+        .dropDuplicates(["_dh", "_ds"])
         .select("doc_id", F.col("_t").alias("text"), "_new")
     )
     if method not in ("auto", "exact", "scalable"):

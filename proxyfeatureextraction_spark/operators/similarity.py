@@ -490,7 +490,7 @@ def semantic_dedup(
     near-copies drop, outliers survive), ties to the lower id.
 
     Returns a total per-vector assignment ``(vec_id, cell, cent_cos,
-    cluster_rep, keep)``: ``cluster_rep`` labels the eps-connected
+    cluster_rep, keep, capped)``: ``cluster_rep`` labels the eps-connected
     duplicate group (connected components over within-cell pairs —
     vectors in different cells are never compared, which is exactly
     SemDeDup's clustering approximation), ``keep`` marks survivors.
@@ -504,7 +504,12 @@ def semantic_dedup(
     guard as the ANN tail; ``chunk_rows`` bounds kernel memory), the
     duplicate groups collapse through the same large-star/small-star
     ``dedup_clusters`` machinery as the text routes, and the keep-rule
-    is one window over ``(cluster_rep)``.  Cosines are rounded to
+    is one window over ``(cluster_rep)``.  Members of cells larger
+    than ``max_cell`` come back ``capped=True, keep=False`` — they
+    were never compared, and hot cells hold exactly the
+    most-duplicated content, so silently keeping them would invert the
+    operator for its heaviest cases; route capped rows through a
+    coarser dedup (exact / minhash) instead.  Cosines are rounded to
     ``round_digits`` BEFORE thresholding so the SQL oracle ranks and
     thresholds identically.
     """
@@ -529,7 +534,8 @@ def semantic_dedup(
     if cn.size == 0:
         return base.sparkSession.createDataFrame(
             [],
-            "vec_id long, cell long, cent_cos double, cluster_rep long, keep boolean",
+            "vec_id long, cell long, cent_cos double, cluster_rep long, "
+            "keep boolean, capped boolean",
         )
     for _ in range(iterations):
         assigned = _assign_cells(base, cn, round_digits)
@@ -548,15 +554,22 @@ def semantic_dedup(
         cn = _unit_rows(new)
     assigned = _assign_cells(base, cn, round_digits)
 
-    cells = assigned
+    # cells over max_cell skip pair generation (the O(cell²) kernel
+    # would be degenerate there), but their members MUST NOT silently
+    # come back keep=True — hot cells hold exactly the most-duplicated
+    # content. They are flagged `capped` in the output so callers route
+    # them to a coarser pass (exact/minhash dedup) instead of trusting
+    # an un-run comparison.
     if max_cell is not None:
         from pyspark.sql import Window as W
 
-        cells = (
-            cells.withColumn("_cn", F.count(F.lit(1)).over(W.partitionBy("cell")))
-            .filter(F.col("_cn") <= max_cell)
-            .drop("_cn")
+        assigned = assigned.withColumn(
+            "capped",
+            F.count(F.lit(1)).over(W.partitionBy("cell")) > max_cell,
         )
+    else:
+        assigned = assigned.withColumn("capped", F.lit(False))
+    cells = assigned.filter(~F.col("capped"))
 
     pair_schema = T.StructType(
         [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
@@ -590,7 +603,7 @@ def semantic_dedup(
     clusters = dedup_clusters(
         edges, nodes=base.select(F.col("vec_id")), a_col="a", b_col="b", id_col="vec_id"
     )
-    labeled = assigned.select("vec_id", "cell", "cent_cos").join(
+    labeled = assigned.select("vec_id", "cell", "cent_cos", "capped").join(
         clusters, "vec_id"
     )
     from pyspark.sql import Window
@@ -598,7 +611,7 @@ def semantic_dedup(
     w = Window.partitionBy("cluster_rep").orderBy(F.asc("cent_cos"), F.asc("vec_id"))
     return (
         labeled.withColumn("_rk", F.row_number().over(w))
-        .withColumn("keep", F.col("_rk") == 1)
+        .withColumn("keep", (F.col("_rk") == 1) & ~F.col("capped"))
         .drop("_rk")
-        .select("vec_id", "cell", "cent_cos", "cluster_rep", "keep")
+        .select("vec_id", "cell", "cent_cos", "cluster_rep", "keep", "capped")
     )

@@ -22,11 +22,24 @@ def _session_scratch() -> str:
     a SHARED /tmp path made two concurrent sessions (parallel pytest
     runs, simultaneous CLI jobs, multiple users) collide on the lock and
     see each other's managed tables (advisor finding, round 3).
-    Override with ``PFX_SCRATCH_DIR`` (or per-key via ``extra_conf``)."""
-    base = os.environ.get("PFX_SCRATCH_DIR") or os.path.join(
-        "/tmp", f"pfx-{os.getuid()}-{os.getpid()}"
-    )
-    os.makedirs(base, exist_ok=True)
+
+    The per-PID default is removed at interpreter exit (best-effort) so
+    looped test runs don't accumulate orphaned Derby/warehouse trees in
+    /tmp. Set ``PFX_SCRATCH_DIR`` for a DURABLE scratch root instead —
+    explicit paths are never auto-deleted, which is also the migration
+    path for anything that relied on the old shared-/tmp warehouse
+    surviving across processes."""
+    explicit = os.environ.get("PFX_SCRATCH_DIR")
+    if explicit:
+        os.makedirs(explicit, exist_ok=True)
+        return explicit
+    base = os.path.join("/tmp", f"pfx-{os.getuid()}-{os.getpid()}")
+    if not os.path.isdir(base):
+        os.makedirs(base, exist_ok=True)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
 
 

@@ -896,12 +896,13 @@ def test_dsir_weights_replay_and_ordering(spark):
         return h
 
     def grams(text):
-        toks = [w for w in (text or "").split(" ") if w]
-        out = list(toks) if toks else []
-        if len(toks) >= 2:
-            out += [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
-        elif toks:
-            out += [" ".join(toks)]  # <n collapse quirk: one whole-text 2-shingle
+        import re as _re
+
+        toks = [w for w in _re.split(r"\s+", text or "") if w]
+        out = list(toks)
+        # STRICT n-grams: a 1-word doc contributes no bigrams (no
+        # whole-text fallback — that would double-count short docs)
+        out += [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
         return out
 
     cr, ct = {}, {}
@@ -1062,3 +1063,22 @@ def test_dsir_fast_path_matches_gram_counts(spark):
     assert (slow["n_grams"] == fast1["n_grams"]).all()
     # same-shaped signal: target members outrank the non-target tail
     assert fast1.loc[0, "log_importance"] >= fast1["log_importance"].min()
+
+
+def test_mix_corpus_zero_weight_groups_defined(spark):
+    """Weight 0 means 'drop this group' — a corpus whose every present
+    group has weight 0 yields a well-defined empty result, not a
+    0/0 → NULL keep fraction."""
+    from proxyfeatureextraction_spark.operators.curation import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)], "doc_id long, lang string"
+    )
+    out = mix_corpus(df, {"a": 0.0, "b": 1.0}, group_col="lang")
+    assert out.count() == 0
+    # and a present zero-weight group is dropped while others survive
+    df2 = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b") for i in range(10)], "doc_id long, lang string"
+    )
+    out2 = mix_corpus(df2, {"a": 0.0, "b": 1.0}, group_col="lang").collect()
+    assert out2 and all(r["lang"] == "b" for r in out2)

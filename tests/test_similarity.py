@@ -300,3 +300,19 @@ def test_semantic_dedup_rejects_bad_params(spark):
         semantic_dedup(df, n_cells=0)
     with pytest.raises(ValueError):
         semantic_dedup(df, iterations=-1)
+
+
+def test_semantic_dedup_capped_cells_not_kept(spark):
+    """Members of cells over max_cell must come back capped=True and
+    keep=False — never silently 'kept' without having been compared."""
+    from proxyfeatureextraction_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i) * 1e-4, 0.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, eps=0.99, n_cells=1, max_cell=5).collect()
+    assert len(out) == 10
+    assert all(r["capped"] and not r["keep"] for r in out)
+    # same input with the cap lifted: exactly one survivor, none capped
+    ok = semantic_dedup(df, eps=0.99, n_cells=1, max_cell=None).collect()
+    assert sum(r["keep"] for r in ok) == 1
+    assert not any(r["capped"] for r in ok)
