@@ -421,3 +421,23 @@ def test_gopher_repetition_no_text_in_exchange(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "gram" not in m.group(1), m.group(0)
+
+
+def test_gopher_quality_counts_words_across_lines(spark):
+    """Words split on \\s+, not single spaces: line breaks must not
+    glue the last word of one line to the first of the next (that
+    undercounted n_words and stopword hits on multi-line prose)."""
+    from proxyfeatureextraction_spark.functions.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [(0, "the cat\nthe dog sat"), (1, "the cat the dog sat")],
+        "doc_id long, text string",
+    )
+    sig = gopher_quality("text")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[c.alias(k) for k, c in sig.items()]).collect()
+    }
+    assert got[0]["n_words"] == 5 == got[1]["n_words"]
+    assert got[0]["stop_hits"] == got[1]["stop_hits"] == 1  # 'the'
+    assert got[0]["mean_word_len"] == got[1]["mean_word_len"]
