@@ -623,6 +623,7 @@ def clean_lines(
     line_blocklist: tuple[str, ...] = ("javascript",),
     doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
     min_lines: int = 1,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the
     published boilerplate-stripping recipe): drop lines that are too
@@ -670,6 +671,10 @@ def clean_lines(
         F.size(kept).alias("n_lines_kept"),
         blocked.alias("doc_blocked"),
         (~blocked & (F.size(kept) >= F.lit(min_lines))).alias("keep"),
+        # pass-through columns (e.g. the event-time column a streaming
+        # caller's watermark rides on — a post-hoc join would be a
+        # stream-stream join and need its own watermark)
+        *[F.col(c) for c in keep_cols],
     )
 
 

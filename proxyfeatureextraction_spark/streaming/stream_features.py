@@ -143,3 +143,59 @@ def stateful_conv_profile(stream: DataFrame, timeout: str = "NoTimeout") -> Data
         .groupBy(S.CONV)
         .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
     )
+
+
+def stream_curate_docs(
+    stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    min_words_per_line: int = 1,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Ingest-time curation as ONE streaming pipeline: C4 line
+    cleaning → quality scoring → bounded-state exact dedup — the
+    stateless curation layer plus the only stateful step that is safe
+    on an infinite stream.
+
+    Stages (all batch-parity-tested against their batch twins):
+
+    1. ``clean_lines`` strips boilerplate lines per document (pure
+       per-row HOFs — trivially streaming-safe);
+    2. documents failing the keep flag or scoring below
+       ``min_quality`` are dropped (stateless filter);
+    3. first-arrival-wins exact dedup keyed on the sha2-256 digest of
+       the CLEANED text, with state evicted past ``watermark``
+       (``dropDuplicatesWithinWatermark`` — same trade as
+       ``stream_dedup_exact``: bounded state vs cross-epoch dedup; run
+       batch ``exact_dedup`` over the sink for the global pass).
+
+    ``ts_col`` is the event-time column the watermark rides on (an
+    ingest timestamp column in the source; there is deliberately no
+    ``current_timestamp()`` fallback — processing-time watermarks make
+    re-runs nondeterministic). Emits the cleaned text plus
+    ``quality_score`` and the line-cleaning counters, in append mode.
+    """
+    from proxyfeatureextraction_spark.functions.text import quality_score
+    from proxyfeatureextraction_spark.operators.curation import clean_lines
+
+    cleaned = clean_lines(
+        stream.select(
+            F.col("doc_id"),
+            F.col(text_col).alias("text"),
+            F.col(ts_col).alias("_ts"),
+        ),
+        min_words_per_line=min_words_per_line,
+        id_col="doc_id",
+        keep_cols=("_ts",),
+    )
+    scored = cleaned.withColumn("quality_score", quality_score("text")).filter(
+        F.col("keep") & (F.col("quality_score") >= min_quality)
+    )
+    return (
+        scored.withWatermark("_ts", watermark)
+        .withColumn("_content", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
+        .dropDuplicatesWithinWatermark(["_content"])
+        .drop("_content")
+        .withColumnRenamed("_ts", ts_col)
+    )

@@ -236,3 +236,70 @@ def test_sliding_stream_matches_batch(spark, transcripts_df, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     # overlap sanity: sliding emits ~2x the tumbling window count
     assert len(got) > spark.read.parquet(path).select(S.CONV).distinct().count()
+
+
+def test_stream_curate_docs_end_to_end(spark, tmp_path):
+    """Ingest-time curation stream: line cleaning and quality filter
+    are batch-identical per row; exact dup (after cleaning) keeps one
+    arrival; empty docs drop via the keep flag."""
+    import datetime as dt
+
+    from proxyfeatureextraction_spark.streaming.stream_features import (
+        run_to_memory,
+        stream_curate_docs,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "good line with words here\nno", t0),
+        (2, "good line with words here\nno", t0 + dt.timedelta(minutes=1)),
+        (3, "a different decent content line", t0),
+        (4, "", t0),
+    ]
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(src)
+    out = stream_curate_docs(stream, min_words_per_line=3)
+    run_to_memory(out, "curate_stream", mode="append")
+    got = {r["doc_id"]: r.asDict() for r in spark.table("curate_stream").collect()}
+    # docs 1 and 2 clean to the same text -> exactly one survives
+    assert len(set(got) & {1, 2}) == 1
+    assert 3 in got and 4 not in got
+    surv = got[1] if 1 in got else got[2]
+    # the short "no" line was stripped by the 3-word rule
+    assert surv["text"] == "good line with words here"
+    assert surv["n_lines_in"] == 2 and surv["n_lines_kept"] == 1
+    assert "quality_score" in surv and "ingest_ts" in surv
+
+
+def test_stream_curate_job_resumes_from_checkpoint(spark, tmp_path):
+    """The CLI streaming job: availableNow run over a landing dir, then
+    a SECOND run after more files land — the checkpoint must make it
+    process only the new data (no duplicate output rows)."""
+    import datetime as dt
+
+    from proxyfeatureextraction_spark.jobs.stream_curate import main
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    spark.createDataFrame(
+        [(1, "first decent document line here", t0)], schema
+    ).write.mode("append").parquet(land)
+    args = ["--input", land, "--output", out, "--checkpoint", ckpt,
+            "--schema", schema, "--available-now"]
+    main(args)
+    assert spark.read.parquet(out).count() == 1
+    spark.createDataFrame(
+        [(2, "second decent document line here", t0 + dt.timedelta(minutes=2))],
+        schema,
+    ).write.mode("append").parquet(land)
+    main(args)
+    pdf = spark.read.parquet(out).toPandas()
+    assert sorted(pdf["doc_id"]) == [1, 2]  # no reprocessing of doc 1
