@@ -49,12 +49,20 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("pfx-stream-curate", master=args.master)
     stream = spark.readStream.schema(args.schema).parquet(args.input)
+    # every source column that isn't consumed by the pipeline itself is
+    # carried through to the sink (lang, source, ...) — the batch
+    # follow-up passes (mixture resampling, DSIR, per-source reports)
+    # need them, and a streaming sink column dropped here is gone
+    passthrough = tuple(
+        c for c in stream.columns if c not in ("doc_id", "text", args.ts_col)
+    )
     curated = stream_curate_docs(
         stream,
         ts_col=args.ts_col,
         min_quality=args.min_quality,
         min_words_per_line=args.min_line_words,
         watermark=args.watermark,
+        keep_cols=passthrough,
     )
     writer = (
         curated.writeStream.outputMode("append")

@@ -134,9 +134,13 @@ def exact_dedup(
     never document text (on a low-duplication 100 TB corpus a raw
     ``groupBy(text)`` would shuffle near the whole corpus as multi-KB
     sort/hash keys). The representative text is recovered afterwards by
-    one keep-id equi-join (8-byte long key, text rides as payload);
-    pass ``with_text=False`` to skip that join entirely and get the
-    narrow (keep_id, copies) result with zero text movement.
+    one (keep_id, digest) equi-join — the digest in the key keeps a
+    reused doc id from fanning the join out, at the cost of a second
+    digest evaluation over the corpus on the join's probe side. Pass
+    ``with_text=False`` to skip that join (and the second hash pass)
+    entirely and get the narrow (keep_id, copies) result with zero
+    text movement — the right call at the 100 TB design point when
+    downstream only needs ids.
     """
     dh, ds = _digest(text_col)
     groups = (
@@ -623,12 +627,18 @@ def minhash_lsh_candidates(
             .dropDuplicates(["_dh", "_ds"])
             .drop("_rid", "_rh", "_rs")
         )
+        digests_carried = True
+    else:
+        digests_carried = False
     if precomputed_bands is not None:
         # reuse stored signatures for texts whose digest is already in
         # the store (``band_signature_store``); minhash only the rest
         store = _validate_sig_store(precomputed_bands, n_perm, bands, shingle)
-        if "_dh" in base.columns:
-            keyed = base  # digests already carried by the collapse step
+        if digests_carried:
+            # set by the collapse branch above — NOT inferred from a
+            # column named _dh, which a caller frame could carry with
+            # foreign values and silently mis-key the store join
+            keyed = base
         else:
             dh, ds = _digest(text_col)
             keyed = base.withColumns({"_dh": dh, "_ds": ds})
@@ -1026,6 +1036,27 @@ def dedup_incremental(
     )
     dh, ds = _digest("_t")
     union = new.unionByName(old).withColumns({"_dh": dh, "_ds": ds})
+    # PRECONDITION (validated, fail-fast): ids unique across batch AND
+    # corpus. The clustering below is id-keyed, so an id reused for
+    # DIFFERENT content in the two spaces would merge unrelated
+    # documents (a unique new doc can come back is_survivor=False) and
+    # feed band_signatures a chimeric per-id token union. The same id
+    # carrying the SAME content (a re-landed file) is fine. One small
+    # digest-count aggregate; assign uuid/snowflake ids at ingest if
+    # batches restart id sequences.
+    clash = (
+        union.groupBy("doc_id")
+        .agg(F.countDistinct("_dh", "_ds").alias("_k"))
+        .filter(F.col("_k") > 1)
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"doc id {clash[0]['doc_id']} maps to different content in the "
+            f"new batch vs the corpus: ids must be unique across both "
+            f"(id-keyed clustering would silently merge unrelated docs)."
+        )
     # exact edges: doc → min-id rep per distinct normalized text, kept
     # when EITHER endpoint is new (the rep itself can be the new doc —
     # e.g. a new id smaller than its corpus twin's id). All grouping /

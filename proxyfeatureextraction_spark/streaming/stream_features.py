@@ -82,7 +82,12 @@ def session_stats(
     )
 
 
-def stream_dedup_exact(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+def stream_dedup_exact(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    ts_col: str = S.TS,
+    text_col: str = S.TEXT,
+) -> DataFrame:
     """Streaming exact dedup: the FIRST arrival of each content survives;
     later copies arriving within the watermark window are dropped.
 
@@ -96,8 +101,8 @@ def stream_dedup_exact(stream: DataFrame, watermark: str = "30 minutes") -> Data
     cross-epoch dedup — run the batch ``exact_dedup`` over the sink for
     the global pass)."""
     return (
-        stream.withWatermark(S.TS, watermark)
-        .withColumn("_content", F.sha2(F.coalesce(F.col(S.TEXT), F.lit("")), 256))
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("_content", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
         .dropDuplicatesWithinWatermark(["_content"])
         .drop("_content")
     )
@@ -152,6 +157,7 @@ def stream_curate_docs(
     min_quality: float = 0.0,
     min_words_per_line: int = 1,
     watermark: str = "30 minutes",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Ingest-time curation as ONE streaming pipeline: C4 line
     cleaning → quality scoring → bounded-state exact dedup — the
@@ -173,8 +179,11 @@ def stream_curate_docs(
     ``ts_col`` is the event-time column the watermark rides on (an
     ingest timestamp column in the source; there is deliberately no
     ``current_timestamp()`` fallback — processing-time watermarks make
-    re-runs nondeterministic). Emits the cleaned text plus
-    ``quality_score`` and the line-cleaning counters, in append mode.
+    re-runs nondeterministic). ``keep_cols`` names source columns to
+    carry through unchanged (lang, source, …) so the sink keeps what
+    the batch follow-up passes (mixture resampling, DSIR, per-source
+    reports) need. Emits the cleaned text plus ``quality_score`` and
+    the line-cleaning counters, in append mode.
     """
     from proxyfeatureextraction_spark.functions.text import quality_score
     from proxyfeatureextraction_spark.operators.curation import clean_lines
@@ -184,18 +193,17 @@ def stream_curate_docs(
             F.col("doc_id"),
             F.col(text_col).alias("text"),
             F.col(ts_col).alias("_ts"),
+            *[F.col(c) for c in keep_cols],
         ),
         min_words_per_line=min_words_per_line,
         id_col="doc_id",
-        keep_cols=("_ts",),
+        keep_cols=("_ts", *keep_cols),
     )
     scored = cleaned.withColumn("quality_score", quality_score("text")).filter(
         F.col("keep") & (F.col("quality_score") >= min_quality)
     )
-    return (
-        scored.withWatermark("_ts", watermark)
-        .withColumn("_content", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
-        .dropDuplicatesWithinWatermark(["_content"])
-        .drop("_content")
-        .withColumnRenamed("_ts", ts_col)
-    )
+    # the bounded-state dedup tail is stream_dedup_exact itself (one
+    # recipe, parameterized — not a second inline copy to diverge)
+    return stream_dedup_exact(
+        scored, watermark=watermark, ts_col="_ts", text_col="text"
+    ).withColumnRenamed("_ts", ts_col)

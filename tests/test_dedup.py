@@ -786,26 +786,41 @@ def test_exact_dedup_survives_reused_ids(spark):
     assert by_text["beta text"]["keep_id"] == 7
 
 
-def test_dedup_incremental_reused_id_across_batches(spark):
-    """Batch and corpus are independent id spaces: a collision must not
-    duplicate band signatures or corrupt the verify counts."""
+def test_dedup_incremental_rejects_reused_id_across_batches(spark):
+    """Batch and corpus are independent id spaces, and the clustering is
+    id-keyed: an id reused for DIFFERENT content must fail fast (the
+    silent path wrongly merged unrelated docs — a unique new doc came
+    back is_survivor=False). Same id + same content (re-landed file)
+    stays allowed."""
     from proxyfeatureextraction_spark.operators.dedup import dedup_incremental
 
     corpus = spark.createDataFrame(
         [(7, "the quick brown fox jumps over the lazy dog today")],
         "doc_id long, text string",
     )
-    new = spark.createDataFrame(
+    clashing = spark.createDataFrame(
         [(7, "an entirely different new document about gardens and rain"),
          (8, "the quick brown fox jumps over the lazy dog today")],
         "doc_id long, text string",
     )
-    out = dedup_incremental(new, corpus, threshold=0.8).toPandas()
-    # new doc 8 is an exact copy of corpus doc 7 -> dropped; new doc 7 kept
-    new_rows = out[out["is_new"]] if "is_new" in out.columns else out
-    assert len(out) >= 1  # sane shape; the key property is no crash/fanout
-    # no doc id appears with two different verdicts
-    assert not out.duplicated(subset=[c for c in out.columns if c.endswith("doc_id") or c == "doc_id"]).any()
+    with pytest.raises(ValueError, match="different content"):
+        dedup_incremental(clashing, corpus, threshold=0.8)
+    # unique ids: exact copy drops, unique content survives
+    ok = spark.createDataFrame(
+        [(20, "an entirely different new document about gardens and rain"),
+         (21, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    out = dedup_incremental(ok, corpus, threshold=0.8).toPandas().set_index("doc_id")
+    assert bool(out.loc[20, "is_survivor"])
+    assert not bool(out.loc[21, "is_survivor"])
+    # re-landed file: same id, same content — allowed, not a survivor
+    relanded = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    out2 = dedup_incremental(relanded, corpus, threshold=0.8).toPandas()
+    assert not out2["is_survivor"].any()
 
 
 def test_sig_store_rejects_mixed_parameters(spark, tmp_path):

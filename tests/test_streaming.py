@@ -251,19 +251,19 @@ def test_stream_curate_docs_end_to_end(spark, tmp_path):
 
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = [
-        (1, "good line with words here\nno", t0),
-        (2, "good line with words here\nno", t0 + dt.timedelta(minutes=1)),
-        (3, "a different decent content line", t0),
-        (4, "", t0),
+        (1, "good line with words here\nno", t0, "en"),
+        (2, "good line with words here\nno", t0 + dt.timedelta(minutes=1), "en"),
+        (3, "a different decent content line", t0, "de"),
+        (4, "", t0, "en"),
     ]
     src = str(tmp_path / "docs_stream")
     spark.createDataFrame(
-        rows, "doc_id long, text string, ingest_ts timestamp"
+        rows, "doc_id long, text string, ingest_ts timestamp, lang string"
     ).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(
-        "doc_id long, text string, ingest_ts timestamp"
+        "doc_id long, text string, ingest_ts timestamp, lang string"
     ).parquet(src)
-    out = stream_curate_docs(stream, min_words_per_line=3)
+    out = stream_curate_docs(stream, min_words_per_line=3, keep_cols=("lang",))
     run_to_memory(out, "curate_stream", mode="append")
     got = {r["doc_id"]: r.asDict() for r in spark.table("curate_stream").collect()}
     # docs 1 and 2 clean to the same text -> exactly one survives
@@ -274,6 +274,8 @@ def test_stream_curate_docs_end_to_end(spark, tmp_path):
     assert surv["text"] == "good line with words here"
     assert surv["n_lines_in"] == 2 and surv["n_lines_kept"] == 1
     assert "quality_score" in surv and "ingest_ts" in surv
+    # passthrough column survives to the sink
+    assert surv["lang"] == "en" and got[3]["lang"] == "de"
 
 
 def test_stream_curate_job_resumes_from_checkpoint(spark, tmp_path):
