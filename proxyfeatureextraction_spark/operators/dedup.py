@@ -1205,6 +1205,7 @@ def dedup_clusters(
     prev = _checksum(edges)
     converged = False
     for _ in range(max_iter):
+        round_start = edges
         # large-star: every neighbor v > u re-links to min(N(u) ∪ {u})
         lmin = edges.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         large = (
@@ -1214,10 +1215,10 @@ def dedup_clusters(
         )
         # eager=False: persistence is marked now, materialization rides
         # the round's ONE action (the checksum) — 1 job per round, not 3
-        edges = _ckpt(_sym(large), False)
+        mid = _ckpt(_sym(large), False)
         # small-star: per node, the smaller neighbors + self re-link to
         # the minimum of that set (directed large→small view)
-        down = edges.filter(F.col("v") < F.col("u"))
+        down = mid.filter(F.col("v") < F.col("u"))
         smin = down.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             down.join(smin, "u")
@@ -1227,6 +1228,13 @@ def dedup_clusters(
         )
         edges = _ckpt(_sym(small), False)
         cur = _checksum(edges)
+        # the checksum action materialized this round's checkpoint, so
+        # the superseded frames' blocks are dead weight — release them
+        # eagerly instead of waiting on the async ContextCleaner (in a
+        # long-lived session repeated contractions otherwise accumulate
+        # block-manager memory across rounds AND invocations)
+        round_start.unpersist()
+        mid.unpersist()
         if cur == prev:
             converged = True
             break
