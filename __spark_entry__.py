@@ -703,13 +703,17 @@ def _strict_gram_sql(toks_expr: str, n: int) -> str:
     )
 
 
-def _id_hash_sql(expr: str, seed: int = 0) -> str:
+def _id_hash_sql(expr: str, seed: int = 0, op: int = 0) -> str:
     """DuckDB twin of operators.curation._id_hash (seed-keyed affine
     map from perm_params; id reduced mod M before the multiply —
-    ANSI overflow-safe on both engines)."""
+    ANSI overflow-safe on both engines). ``op`` is the operator's
+    hash-domain tag (curation.OP_SPLIT/OP_SAMPLE/…), folded into the
+    effective seed via the SAME curation.op_seed helper the Spark side
+    uses."""
+    from proxyfeatureextraction_spark.operators.curation import op_seed
     from proxyfeatureextraction_spark.operators.dedup import HASH_MOD, perm_params
 
-    a, b = perm_params(seed)
+    a, b = perm_params(op_seed(seed, op))
     return f"((({expr}) % {HASH_MOD}) * {a} + {b}) % {HASH_MOD}"
 
 
@@ -1488,10 +1492,15 @@ def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): smoothed hashed
     n-gram log-likelihood ratio of target (lang='en') vs raw corpus —
     bucket tables bounded at 512 rows and broadcast; exchange carries
-    (doc_id, bucket int) only."""
+    (doc_id, bucket int) only. The fixture is a single parquet split,
+    so the wrapper repartitions before the explode-heavy hashed-n-gram
+    map side (same fix as q_gopher_repetition: 8.1→1.9 s there) — the
+    shape a multi-split production input has for free."""
     from proxyfeatureextraction_spark.operators.curation import dsir_weights
 
-    d = _table(spark, sf_dir, "documents")
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dsir_weights(d, d.filter(F.col("lang") == "en"), n_buckets=512)
 
 
@@ -2658,7 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_split": _hash_split_oracle(),
         "shuffle_shards": f"""
-        WITH h AS (SELECT doc_id, {_id_hash_sql('doc_id', seed=3)} AS hh
+        WITH h AS (SELECT doc_id, {_id_hash_sql('doc_id', seed=3, op=4)} AS hh
                    FROM documents)
         SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
                CAST(row_number() OVER (PARTITION BY hh % 8
@@ -2667,7 +2676,7 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         """,
         "sample_per_group": f"""
-        WITH h AS (SELECT lang, doc_id, {_id_hash_sql('doc_id', seed=3)} AS hh
+        WITH h AS (SELECT lang, doc_id, {_id_hash_sql('doc_id', seed=3, op=1)} AS hh
                    FROM documents),
         r AS (SELECT lang, doc_id,
                      row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
@@ -2688,7 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         k AS (SELECT lang, ratio / max(ratio) OVER () AS keep FROM r)
         SELECT d.lang, d.doc_id
         FROM documents d JOIN k USING (lang)
-        WHERE CAST({_id_hash_sql('d.doc_id', seed=5)} AS DOUBLE)
+        WHERE CAST({_id_hash_sql('d.doc_id', seed=5, op=3)} AS DOUBLE)
               < k.keep * 1000000007.0
         """,
         "gopher_quality": rf"""
@@ -2986,7 +2995,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_weighted": f"""
         WITH h AS (SELECT lang, doc_id,
-                          ln(({_id_hash_sql('doc_id', seed=7)} + 1)
+                          ln(({_id_hash_sql('doc_id', seed=7, op=2)} + 1)
                              / 1000000008.0)
                           / CAST(n_chars + 1 AS DOUBLE) AS key
                    FROM documents),
@@ -3091,7 +3100,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": f"""
         WITH RECURSIVE base AS (
-          SELECT CAST(({_id_hash_sql('doc_id', seed=1)}) % 8 AS INTEGER) AS shard,
+          SELECT CAST(({_id_hash_sql('doc_id', seed=1, op=5)}) % 8 AS INTEGER) AS shard,
                  doc_id,
                  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
                                       x -> length(x) > 0)) AS BIGINT) AS n_tok

@@ -31,7 +31,43 @@ from proxyfeatureextraction_spark.operators.dedup import (
 )
 
 
-def _id_hash(id_col, seed: int = 0) -> Column:
+# Per-operator hash-domain tags. Every hash-threshold operator folds
+# its own tag into the effective perm_params seed, so composing two of
+# them at the SAME user seed (the default 0 in particular) draws
+# independent hashes: before this, mix_corpus → hash_split at seed 0
+# kept only low-hash docs in downsampled groups, and the train/val/test
+# thresholds then partitioned those same low hashes — val/test came
+# back empty or skewed for exactly the downsampled groups (a silent
+# statistical bias in the intended pipeline composition).
+_OP_SPACE = 8
+OP_SPLIT, OP_SAMPLE, OP_WSAMPLE, OP_MIX, OP_SHARD, OP_PACK = 0, 1, 2, 3, 4, 5
+
+# Knuth's multiplicative constant reduced into the hash field — the
+# base of the domain-separation exponentiation below.
+_OP_GEN = 2654435761 % HASH_MOD
+
+
+def op_seed(seed: int, op: int) -> int:
+    """Effective perm_params seed for (user seed, operator tag) —
+    shared with the DuckDB oracle builder so both engines key the
+    identical hash family.
+
+    Not simply ``seed*_OP_SPACE + op``: perm_params' MULTIPLIER is
+    linear in (eff+1), and any two affine hashes mod a prime are affine
+    functions of each other with ratio (eff2+1)/(eff1+1) — for small
+    effective seeds that ratio is a SMALL integer (op 3 vs op 0 at
+    seed 0 → exactly 4), so one domain's threshold set {h < t} maps
+    into the other as a handful of narrow intervals and threshold
+    COMPOSITIONS (mix_corpus → hash_split) go lumpy: val/test can land
+    between the intervals and come back empty. Mapping the slot through
+    ``g^k mod M`` makes every pairwise multiplier ratio a power of a
+    generic field element — order-scrambling, never a small rational —
+    which is what makes chained keep/split decisions statistically
+    independent."""
+    return pow(_OP_GEN, seed * _OP_SPACE + op + 1, HASH_MOD) - 1
+
+
+def _id_hash(id_col, seed: int = 0, op: int = OP_SPLIT) -> Column:
     """Affine integer hash of a numeric id, mod 1e9+7 — the portable
     (DuckDB-twin) stand-in for xxhash64 in split/sample decisions.
     Non-negative for non-negative ids. The seed enters the MULTIPLIER
@@ -40,8 +76,11 @@ def _id_hash(id_col, seed: int = 0) -> Column:
     samples) almost identical across seeds. M is prime, so every
     nonzero multiplier is a bijection. The id is reduced mod M BEFORE
     the multiply so the product stays under 2^63 for any int64 id
-    (ANSI overflow-safe)."""
-    a, b = perm_params(seed)
+    (ANSI overflow-safe). ``op`` is the caller's hash-domain tag
+    (``OP_SPLIT``/``OP_SAMPLE``/…) folded into the effective seed via
+    ``op_seed`` — distinct operators draw independent hashes even at
+    the same user seed."""
+    a, b = perm_params(op_seed(seed, op))
     return (
         (F.col(id_col).cast("long") % F.lit(HASH_MOD)) * F.lit(a) + F.lit(b)
     ) % F.lit(HASH_MOD)
@@ -75,7 +114,7 @@ def split_assign(
     need not sum to 1; they are normalized. Dict order fixes label
     precedence (insertion order, as in Python 3.7+).
     """
-    h = _id_hash(id_col, seed)
+    h = _id_hash(id_col, seed, op=OP_SPLIT)
     expr = None
     for name, bound in split_bounds(weights):
         cond = h < F.lit(bound)
@@ -117,7 +156,9 @@ def sample_per_group(
     groups cost O(group log group) in the sort, no driver involvement.
     Changing ``seed`` draws an (almost) independent sample.
     """
-    w = Window.partitionBy(group_col).orderBy(_id_hash(id_col, seed), F.col(id_col))
+    w = Window.partitionBy(group_col).orderBy(
+        _id_hash(id_col, seed, op=OP_SAMPLE), F.col(id_col)
+    )
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n)
@@ -147,7 +188,9 @@ def weighted_sample_per_group(
     them mass). Same scale shape as ``sample_per_group``: one
     hash-partition exchange on ``group_col``.
     """
-    u = (_id_hash(id_col, seed) + 1).cast("double") / float(HASH_MOD + 1)
+    u = (_id_hash(id_col, seed, op=OP_WSAMPLE) + 1).cast("double") / float(
+        HASH_MOD + 1
+    )
     # log-domain A-ES key: ln(u)/w is monotone-equivalent to u^(1/w)
     # (ln increasing, w > 0) but never underflows — u^(1/w) hits double
     # zero for small u with small w (e.g. u=1e-9, w=0.01), collapsing
@@ -184,11 +227,15 @@ def mix_corpus(
     Row selection is the portable affine id hash (`hash < keep_g · M`)
     — no RNG, stable under re-runs / reordering / partition changes,
     and a doc kept at one mixture stays kept when its group's keep
-    fraction only grows. Scale shape: one tiny per-group count
-    aggregate joined back via broadcast; the filter itself is a narrow
-    projection that fuses into the scan. Weights need not sum to 1
-    (only ratios matter — no normalization float ops to mismatch an
-    oracle)."""
+    fraction only grows. The hash is domain-separated (``OP_MIX``)
+    from hash_split/sample/shard, so chaining those operators at the
+    same seed draws independent selections. Scale shape: ONE per-group
+    count aggregate (filtered to the ≤ len(weights) mixture groups,
+    map-side partial) collected to the driver; the keep fractions come
+    back as a literal map, so the filter is a narrow projection that
+    fuses into the scan — no repeated count subtrees, no join at all.
+    Weights need not sum to 1 (only ratios matter — no normalization
+    float ops to mismatch an oracle)."""
     if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError("mix_corpus weights must be non-negative with a positive sum")
     # weight 0 MEANS "drop this group" — filter those entries up front
@@ -196,29 +243,34 @@ def mix_corpus(
     # well-defined empty result instead of a 0/0 → NULL keep fraction
     # silently dropping all rows (non-ANSI division semantics)
     weights = {k: v for k, v in weights.items() if v > 0}
-    wmap = F.create_map(
-        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    counts = {
+        r["_g"]: r["_n"]
+        for r in (
+            df.filter(F.col(group_col).isin(list(weights)))
+            .groupBy(F.col(group_col).alias("_g"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    # same arithmetic the old in-plan version ran, now once on ≤
+    # len(weights) driver-side rows: ratio_g = w_g·total/n_g, keep_g =
+    # ratio_g / max ratio (all IEEE doubles, order-independent)
+    total = float(sum(counts.values()))
+    ratios = {g: float(weights[g]) * total / float(n) for g, n in counts.items()}
+    mx = max(ratios.values())
+    keep_map = F.create_map(
+        *[x for g, r in ratios.items() for x in (F.lit(g), F.lit(r / mx))]
     )
-    counts = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
-        .withColumn("_w", wmap[F.col(group_col)])
-        .filter(F.col("_w").isNotNull())
-    )
-    # scalar aggregates over the one-row-per-group counts table, joined
-    # back via broadcast (a global window would funnel through a single
-    # partition and warn; same math, cleaner plan)
-    ratios = counts.crossJoin(
-        F.broadcast(counts.agg(F.sum("_n").alias("_tot")))
-    ).withColumn("_ratio", F.col("_w") * F.col("_tot") / F.col("_n"))
-    keep = ratios.crossJoin(
-        F.broadcast(ratios.agg(F.max("_ratio").alias("_mx")))
-    ).select(group_col, (F.col("_ratio") / F.col("_mx")).alias("_keep"))
     return (
-        df.join(F.broadcast(keep), group_col)
+        df.withColumn("_keep", keep_map[F.col(group_col)])
         .filter(
-            _id_hash(id_col, seed).cast("double")
-            < F.col("_keep") * float(HASH_MOD)
+            F.col("_keep").isNotNull()
+            & (
+                _id_hash(id_col, seed, op=OP_MIX).cast("double")
+                < F.col("_keep") * float(HASH_MOD)
+            )
         )
         .drop("_keep")
     )
@@ -458,12 +510,16 @@ def corpus_report(
     nd = (
         F.countDistinct("_td") if exact else F.approx_count_distinct("_td", rsd)
     )
+    dup = F.round(F.lit(1.0) - nd / F.count(F.lit(1)).cast("double"), 6)
+    if not exact:
+        # HLL++ can OVERestimate the distinct count, which would push
+        # dup_rate slightly negative; the exact path cannot, and stays
+        # expression-identical to its oracle
+        dup = F.greatest(F.lit(0.0), dup)
     return base.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_docs"),
         nd.alias("n_distinct"),
-        F.round(
-            F.lit(1.0) - nd / F.count(F.lit(1)).cast("double"), 6
-        ).alias("dup_rate"),
+        dup.alias("dup_rate"),
         F.round(F.avg("_q"), 6).alias("avg_quality"),
         F.round(F.avg("_nt"), 6).alias("avg_tokens"),
         F.sum("_nc").alias("total_chars"),
@@ -578,7 +634,9 @@ def pack_sequences(
         ).cast("long")
     )
     base = df.select(
-        (_id_hash(id_col, seed) % F.lit(n_shards)).cast("int").alias("shard"),
+        (_id_hash(id_col, seed, op=OP_PACK) % F.lit(n_shards)).cast("int").alias(
+            "shard"
+        ),
         F.col(id_col).cast("long").alias("doc_id"),
         tok.alias("n_tok"),
     )
@@ -689,14 +747,20 @@ def dedup_lines(
     document: ``(doc_id, text, n_lines, n_lines_kept)`` — docs whose
     every line was seen earlier come back with empty text.
 
-    Scale shape: the first-occurrence choice shuffles on the line
-    DIGEST — ``(xxhash64(line), sha2(line, 256))``, the same
-    collision-proof digest pair the exact-dedup family keys on — never
-    on line text as a key; line text rides as a value exactly twice
-    (once into the digest window, once into the per-doc re-assembly),
-    which is the irreducible minimum since the output contains the
-    text.  The per-doc ``collect_list`` is bounded by document size,
-    not corpus size.
+    Scale shape: the first-occurrence choice is a ``min(struct(doc_id,
+    pos))`` AGGREGATE over the line digest — ``(xxhash64(line),
+    sha2(line, 256))``, the same collision-proof pair the exact-dedup
+    family keys on — NOT a window: an aggregate gets a map-side
+    partial, so the corpus's hottest line ("All rights reserved",
+    cookie banners — billions of occurrences at 100 TB) collapses to
+    one candidate per map task before the exchange, where a
+    ``row_number`` window would funnel every occurrence of the hot
+    digest through a single task with no partial.  The digest exchange
+    carries ``(h1, h2, doc_id, pos)`` only — line TEXT never rides a
+    digest-keyed shuffle; winners join back to the lines on
+    ``(doc_id, pos)``, a unique, uniformly-distributed key (skew-free
+    by construction).  The per-doc ``collect_list`` is bounded by
+    document size, not corpus size.
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
@@ -708,16 +772,15 @@ def dedup_lines(
     keyed = lines.select(
         "doc_id",
         "pos",
-        "line",
         F.xxhash64("line").alias("h1"),
         F.sha2("line", 256).alias("h2"),
     )
-    w = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
-    kept = (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "h1", "h2")
+    winners = (
+        keyed.groupBy("h1", "h2")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_fst"))
+        .select(F.col("_fst.doc_id").alias("doc_id"), F.col("_fst.pos").alias("pos"))
     )
+    kept = lines.join(winners, ["doc_id", "pos"], "leftsemi")
     re_docs = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -942,7 +1005,7 @@ def shuffle_shards(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    h = _id_hash(id_col, seed)
+    h = _id_hash(id_col, seed, op=OP_SHARD)
     out = df.withColumn("_h", h).withColumn(
         "shard", (F.col("_h") % n_shards).cast("int")
     )

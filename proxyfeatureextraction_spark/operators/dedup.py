@@ -550,6 +550,133 @@ def _validate_sig_store(
     return store.select("_dh", "_ds", "band", "sig")
 
 
+def row_band_sig_cols(
+    text_col="text",
+    n_perm: int = 16,
+    bands: int = 8,
+    shingle: int | None = None,
+) -> list[Column]:
+    """Per-ROW minhash LSH band signatures as pure column expressions —
+    the explode/groupBy-free twin of ``band_signatures``, value-identical
+    band for band (pinned by test_row_band_sigs_match_batch).
+
+    The whole pipeline (tokenize → distinct → polynomial word hash →
+    per-permutation min → band fold) runs inside nested higher-order
+    functions on the row's own token array, so it is STATELESS: no
+    shuffle, no aggregation state — which is exactly what makes it legal
+    in a Structured Streaming plan before the stateful tail (a streaming
+    ``groupBy(doc_id)`` re-aggregation would force watermark-delayed
+    append output on what should be a row-level filter).
+
+    Returns ``bands`` Columns, band b at index b. Docs with zero tokens
+    get NULL signatures — the same docs ``band_signatures`` emits no
+    rows for, so both representations agree that such docs never collide.
+    """
+    if bands <= 0 or bands > n_perm or n_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of n_perm ({n_perm}): "
+            f"rows_per_band = n_perm // bands must be a whole positive number."
+        )
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    if shingle is None:
+        toks = F.array_distinct(
+            F.filter(
+                F.split(F.coalesce(col, F.lit("")), " "),
+                lambda w: F.length(w) > 0,
+            )
+        )
+    else:
+        if not isinstance(text_col, str):
+            raise TypeError(
+                "row_band_sig_cols with shingle= needs a column NAME "
+                "(the shingle builder resolves it by name)"
+            )
+        toks = F.array_distinct(_shingle_col(text_col, shingle))
+    hs = F.transform(toks, portable_word_hash)
+    mins = [
+        F.array_min(F.transform(hs, lambda h, i=i: _perm(h, i)))
+        for i in range(n_perm)
+    ]
+    rpb = n_perm // bands
+    return [_fold_sig(mins[b * rpb : (b + 1) * rpb]) for b in range(bands)]
+
+
+def flag_corpus_dups(
+    df: DataFrame,
+    corpus_sigs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 8,
+    shingle: int | None = None,
+    text_col: str = "text",
+    normalize: bool = True,
+    flag_col: str = "corpus_dup",
+) -> DataFrame:
+    """Flag rows whose content already exists in a persisted
+    ``band_signature_store`` snapshot — exactly (digest equality) or
+    nearly (shares ≥ 1 LSH band signature, the standard MinHash
+    candidate rule at the store's n_perm/bands operating point).
+
+    Adds boolean ``flag_col``; drops every scratch column. The store's
+    recorded (n_perm, bands, shingle) are validated against the
+    caller's, and ``normalize`` must match how the store was built
+    (``band_signature_store(normalize=True)`` is the default there too).
+
+    Scale/streaming shape: completely STATELESS on the ``df`` side —
+    per-row HOF signatures (``row_band_sig_cols``) plus ``bands`` + 1
+    equi-joins against static per-band projections of the store, no
+    window, no aggregation, no self-join. That makes the same code path
+    legal on a static frame and inside a Structured Streaming plan
+    (stream-static joins need no watermark and emit rows immediately —
+    ``stream_curate_docs(corpus_sigs=...)`` uses it as its near-dup
+    guard). In streaming the probe side of every join is one
+    micro-batch, so per-join cost scales with ingest rate, not corpus
+    size; the store side is a column-pruned (band, sig) / (_dh, _ds)
+    projection — persist the store bucketed by ``sig`` to keep its side
+    of the exchange pruned at 100 TB. Near-dup candidacy here is the
+    band-collision rule WITHOUT the exact-Jaccard verify pass (the
+    stream has no corpus text to verify against); a false-positive rate
+    follows the usual S-curve — run batch ``dedup_incremental`` over
+    the sink for the verified global pass.
+    """
+    from proxyfeatureextraction_spark.functions.text import normalize_text
+
+    store = _validate_sig_store(corpus_sigs, n_perm, bands, shingle)
+    norm = (
+        normalize_text(text_col)
+        if normalize
+        else F.coalesce(F.col(text_col), F.lit(""))
+    )
+    out = df.withColumn("_cd_t", norm)
+    dh, ds = _digest("_cd_t")
+    out = out.withColumn("_dh", dh).withColumn("_ds", ds)
+    exact = (
+        store.select("_dh", "_ds")
+        .distinct()
+        .withColumn("_cd_xhit", F.lit(True))
+    )
+    out = out.join(exact, ["_dh", "_ds"], "left")
+    sig_cols = row_band_sig_cols("_cd_t", n_perm=n_perm, bands=bands, shingle=shingle)
+    hits = [F.coalesce(F.col("_cd_xhit"), F.lit(False))]
+    for b, sc in enumerate(sig_cols):
+        side = (
+            store.filter(F.col("band") == b)
+            .select(F.col("sig").alias(f"_cd_s{b}"))
+            .distinct()
+            .withColumn(f"_cd_bhit{b}", F.lit(True))
+        )
+        out = out.withColumn(f"_cd_s{b}", sc).join(side, [f"_cd_s{b}"], "left")
+        hits.append(F.coalesce(F.col(f"_cd_bhit{b}"), F.lit(False)))
+    flag = hits[0]
+    for h in hits[1:]:
+        flag = flag | h
+    scratch = (
+        ["_cd_t", "_dh", "_ds", "_cd_xhit"]
+        + [f"_cd_s{b}" for b in range(bands)]
+        + [f"_cd_bhit{b}" for b in range(bands)]
+    )
+    return out.withColumn(flag_col, flag).drop(*scratch)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     n_perm: int = 16,

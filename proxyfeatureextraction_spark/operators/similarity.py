@@ -445,10 +445,11 @@ def _assign_cells(
             ids, m = _normalized_matrix(pdf)
             qn = _unit_rows(m)
             cos = np.round(qn @ cn_.T, round_digits)
-            cells = np.array(
-                [np.lexsort((np.arange(cn_.shape[0]), -cos[i]))[0] for i in range(len(ids))],
-                dtype=np.int64,
-            )
+            # argmax returns the LOWEST index among ties — exactly the
+            # "max rounded cosine, ties to lowest cell id" rule, without
+            # the per-row lexsort loop (O(rows·cells log cells) overhead
+            # in the hot path every Lloyd round re-runs)
+            cells = np.argmax(cos, axis=1).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "vec_id": ids,
@@ -561,11 +562,17 @@ def semantic_dedup(
     # them to a coarser pass (exact/minhash dedup) instead of trusting
     # an un-run comparison.
     if max_cell is not None:
-        from pyspark.sql import Window as W
-
-        assigned = assigned.withColumn(
-            "capped",
-            F.count(F.lit(1)).over(W.partitionBy("cell")) > max_cell,
+        # cell sizes via a map-side-partial AGGREGATE broadcast back —
+        # a count window over `cell` would funnel every member of a
+        # degenerate hot cell (embeddings included) through one task,
+        # i.e. the guard against oversized cells would itself
+        # materialize the oversized cell on a single partition. The
+        # size table is ≤ n_cells rows, so the join side broadcasts.
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_cell_n"))
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cell", "left")
+            .withColumn("capped", F.col("_cell_n") > max_cell)
+            .drop("_cell_n")
         )
     else:
         assigned = assigned.withColumn("capped", F.lit(False))

@@ -316,3 +316,28 @@ def test_semantic_dedup_capped_cells_not_kept(spark):
     ok = semantic_dedup(df, eps=0.99, n_cells=1, max_cell=None).collect()
     assert sum(r["keep"] for r in ok) == 1
     assert not any(r["capped"] for r in ok)
+
+
+def test_semantic_dedup_capped_flag_not_a_window(spark):
+    """The capped flag must come from a groupBy-count broadcast join,
+    not a count window over `cell` (round-4 verdict, What's wrong #2):
+    a window funnels every member of a degenerate hot cell — embeddings
+    included — through one task, i.e. the guard against oversized cells
+    would itself materialize the oversized cell on a single partition."""
+    from proxyfeatureextraction_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i) * 1e-4, 0.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        semantic_dedup(df, eps=0.99, n_cells=1, max_cell=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # no window partitioned on the cell id anywhere in the plan (the
+    # only window left is the per-cluster representative rank)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert not spec.startswith("cell#"), spec
+    assert "partial_count" in plan, plan

@@ -79,7 +79,18 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
     return errs
 
 
-def run(sf_dir: str, only: list[str] | None = None, spark=None) -> dict[str, list[str]]:
+def run(
+    sf_dir: str,
+    only: list[str] | None = None,
+    spark=None,
+    warnings: dict[str, list[str]] | None = None,
+) -> dict[str, list[str]]:
+    """Gate every registered query against its oracle. Returns
+    {name: [errors]} — empty list = pass. Non-fatal anomalies (an
+    oracle-less query returning 0 rows, valid on a small fixture but
+    worth a human look) go into ``warnings`` IN-BAND if the caller
+    passes a dict, so machine consumers can distinguish "0 rows,
+    verify intent" from a clean pass instead of scraping stdout."""
     import __spark_entry__ as E
 
     if spark is None:
@@ -89,6 +100,8 @@ def run(sf_dir: str, only: list[str] | None = None, spark=None) -> dict[str, lis
     con = duck_conn(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
     results: dict[str, list[str]] = {}
+    if warnings is None:
+        warnings = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -108,6 +121,7 @@ def run(sf_dir: str, only: list[str] | None = None, spark=None) -> dict[str, lis
                 print(f"{name:26s} rows-only ({len(spark_pdf)} rows)")
             else:
                 results[name] = []
+                warnings[name] = ["rows-only query returned 0 rows — verify intent"]
                 print(
                     f"{name:26s} rows-only WARNING: 0 rows — valid on a "
                     f"small fixture, verify intent"
@@ -128,8 +142,11 @@ def run(sf_dir: str, only: list[str] | None = None, spark=None) -> dict[str, lis
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or None
-    res = run(sf, only)
+    warns: dict[str, list[str]] = {}
+    res = run(sf, only, warnings=warns)
     bad = {k: v for k, v in res.items() if v}
+    if warns:
+        print(f"\nWARNINGS (non-fatal): {sorted(warns)}")
     if bad:
         print(f"\nFAILED: {sorted(bad)}")
         sys.exit(1)
