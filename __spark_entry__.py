@@ -1722,72 +1722,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate verifies the FIRST 50 entries in dict
-    # order.  Round-4 rotation: the 21 queries that were past the cap in
-    # round 3 (never driver-verified, or fell out of the round-2 window)
-    # lead; gates whose implementation changed this round (the dedup
-    # digest-key family, corpus_report) stay inside the window; 21
-    # long-stable gates (TPC-H shapes, basic per-group kernels, text fns,
-    # similarity ANN, multimodal) rotate behind the cap and rotate back in
-    # round 5 so every query gets a driver-green row across two rounds.
+    # order.  Round-5 rotation (closing the two-consecutive-driver-rounds
+    # goal): the 31 queries past the cap in round 4 lead — prioritized
+    # because the similarity/text gates' source files changed in round 4 —
+    # followed by every gate whose implementation changed THIS round (the
+    # hash-domain-separated split/sample/mix/shard/pack family, dedup_lines,
+    # semantic_dedup, corpus_report, dsir_weights) and a north-rule core
+    # slice.  Everything below the cap is driver-green in CORRECTNESS_r04
+    # and stays green under the local gate replica (tools/check_entry.py).
     return {
-        # -- round-3 over-cap queries: must get driver rows this round ----
-        "asof_global": q_asof_global,
-        "salted_stats": q_salted_stats,
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_near_survivors": q_dedup_near_survivors,
-        "dedup_corpus": q_dedup_corpus,
-        "dedup_incremental": q_dedup_incremental,
-        "rollup_counts": q_rollup_counts,
-        "pivot_counts": q_pivot_counts,
-        "hash_split": q_hash_split,
-        "sample_per_group": q_sample_per_group,
-        "sample_weighted": q_sample_weighted,
-        "mix_corpus": q_mix_corpus,
-        "gopher_quality": q_gopher_quality,
-        # -- new round-4 operators: need driver rows this round ----------
-        "gopher_repetition": q_gopher_repetition,
-        "clean_lines": q_clean_lines,
-        "dedup_lines": q_dedup_lines,
-        "chunk_docs": q_chunk_docs,
-        "dsir_weights": q_dsir_weights,
-        "semantic_dedup": q_semantic_dedup,
-        "shuffle_shards": q_shuffle_shards,
-        "decontaminate": q_decontaminate,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "pii_scrub": q_pii_scrub,
-        "pack_sequences": q_pack_sequences,
-        "curate_corpus": q_curate_corpus,
-        "corpus_report": q_corpus_report,
-        "top_ngrams": q_top_ngrams,
-        "doc_winnow": q_doc_winnow,
-        "winnow_pairs": q_winnow_pairs,
-        "profile_events": q_profile_events,
-        "embedding_quantize": q_embedding_quantize,
-        # -- gates covering code changed this round (keep driver-green) ---
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_hamming": q_dedup_simhash_hamming,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "embedding_dup_clusters": q_embedding_dup_clusters,
-        # -- north-rule core (PIT / as-of / windows): always in-window ----
-        "pit_row_features": q_pit_row_features,
-        "pit_blocked": q_pit_blocked,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "tumbling_keyed": q_tumbling_keyed,
-        "prefix_cumsum": q_prefix_cumsum,
-        "interarrival": q_interarrival,
-        "interval_join": q_interval_join,
-        "outer_align_zproduct": q_outer_align_zproduct,
-        "rtt_pattern": q_rtt_pattern,
-        # ---- entries below are past the driver's 50-entry window this ----
-        # ---- round (all driver-green in CORRECTNESS_r02/r03, or — for ----
-        # ---- round-4 ops that don't fit — green under the local gate  ----
-        # ---- replica tools/check_entry.py); they rotate back/in in r5 ----
+        # -- rotated back in: over-cap in round 4, driver rows due now ----
         "tumbling_global": q_tumbling_global,
         "backfill": q_backfill,
         "lag_lead": q_lag_lead,
@@ -1819,6 +1763,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_resize": q_multimodal_resize,
+        # -- gates whose implementation changed in round 5 ----------------
+        "hash_split": q_hash_split,
+        "sample_per_group": q_sample_per_group,
+        "sample_weighted": q_sample_weighted,
+        "mix_corpus": q_mix_corpus,
+        "dedup_lines": q_dedup_lines,
+        "shuffle_shards": q_shuffle_shards,
+        "pack_sequences": q_pack_sequences,
+        "curate_corpus": q_curate_corpus,
+        "corpus_report": q_corpus_report,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_weights": q_dsir_weights,
+        # -- north-rule core (PIT / as-of / windows) ----------------------
+        "pit_row_features": q_pit_row_features,
+        "pit_blocked": q_pit_blocked,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "tumbling_keyed": q_tumbling_keyed,
+        "prefix_cumsum": q_prefix_cumsum,
+        "interarrival": q_interarrival,
+        "interval_join": q_interval_join,
+        # ---- entries below are past the driver's 50-entry window this ----
+        # ---- round: all have green CORRECTNESS_r04 rows and stay green ----
+        # ---- under tools/check_entry.py (their code did not change) ------
+        "asof_global": q_asof_global,
+        "salted_stats": q_salted_stats,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_near_survivors": q_dedup_near_survivors,
+        "dedup_corpus": q_dedup_corpus,
+        "dedup_incremental": q_dedup_incremental,
+        "rollup_counts": q_rollup_counts,
+        "pivot_counts": q_pivot_counts,
+        "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
+        "clean_lines": q_clean_lines,
+        "chunk_docs": q_chunk_docs,
+        "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "pii_scrub": q_pii_scrub,
+        "top_ngrams": q_top_ngrams,
+        "doc_winnow": q_doc_winnow,
+        "winnow_pairs": q_winnow_pairs,
+        "profile_events": q_profile_events,
+        "embedding_quantize": q_embedding_quantize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
+        "outer_align_zproduct": q_outer_align_zproduct,
+        "rtt_pattern": q_rtt_pattern,
     }
 
 

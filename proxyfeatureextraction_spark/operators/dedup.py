@@ -593,10 +593,14 @@ def row_band_sig_cols(
             )
         toks = F.array_distinct(_shingle_col(text_col, shingle))
     hs = F.transform(toks, portable_word_hash)
-    mins = [
-        F.array_min(F.transform(hs, lambda h, i=i: _perm(h, i)))
-        for i in range(n_perm)
-    ]
+
+    # single-parameter closure per permutation: a two-parameter lambda
+    # in F.transform would receive (element, ARRAY_INDEX) — Spark's
+    # positional-index form — silently shadowing the permutation number
+    def _perm_i(i):
+        return lambda h: _perm(h, i)
+
+    mins = [F.array_min(F.transform(hs, _perm_i(i))) for i in range(n_perm)]
     rpb = n_perm // bands
     return [_fold_sig(mins[b * rpb : (b + 1) * rpb]) for b in range(bands)]
 

@@ -158,11 +158,15 @@ def stream_curate_docs(
     min_words_per_line: int = 1,
     watermark: str = "30 minutes",
     keep_cols: tuple[str, ...] = (),
+    corpus_sigs: DataFrame | None = None,
+    corpus_n_perm: int = 16,
+    corpus_bands: int = 8,
+    corpus_shingle: int | None = None,
 ) -> DataFrame:
     """Ingest-time curation as ONE streaming pipeline: C4 line
-    cleaning → quality scoring → bounded-state exact dedup — the
-    stateless curation layer plus the only stateful step that is safe
-    on an infinite stream.
+    cleaning → quality scoring → corpus near-dup guard (optional) →
+    bounded-state exact dedup — the stateless curation layer plus the
+    only stateful step that is safe on an infinite stream.
 
     Stages (all batch-parity-tested against their batch twins):
 
@@ -170,11 +174,23 @@ def stream_curate_docs(
        per-row HOFs — trivially streaming-safe);
     2. documents failing the keep flag or scoring below
        ``min_quality`` are dropped (stateless filter);
-    3. first-arrival-wins exact dedup keyed on the sha2-256 digest of
+    3. when ``corpus_sigs`` is given — a persisted
+       ``band_signature_store`` snapshot read back as a static frame —
+       documents whose CLEANED text is an exact (digest) or near (LSH
+       band-collision) duplicate of the existing corpus are dropped via
+       ``dedup.flag_corpus_dups``: per-row HOF minhash signatures plus
+       stream-STATIC equi-joins, so the stage is stateless (no extra
+       watermark, rows emit immediately) and its per-batch cost scales
+       with ingest rate, not corpus size.  Build the store over the
+       SAME cleaning parameters so digests line up.  Candidacy is the
+       band rule without an exact-Jaccard verify (the stream has no
+       corpus text to verify against) — run batch
+       ``dedup_incremental`` over the sink for the verified global
+       pass;
+    4. first-arrival-wins exact dedup keyed on the sha2-256 digest of
        the CLEANED text, with state evicted past ``watermark``
        (``dropDuplicatesWithinWatermark`` — same trade as
-       ``stream_dedup_exact``: bounded state vs cross-epoch dedup; run
-       batch ``exact_dedup`` over the sink for the global pass).
+       ``stream_dedup_exact``: bounded state vs cross-epoch dedup).
 
     ``ts_col`` is the event-time column the watermark rides on (an
     ingest timestamp column in the source; there is deliberately no
@@ -187,6 +203,7 @@ def stream_curate_docs(
     """
     from proxyfeatureextraction_spark.functions.text import quality_score
     from proxyfeatureextraction_spark.operators.curation import clean_lines
+    from proxyfeatureextraction_spark.operators.dedup import flag_corpus_dups
 
     cleaned = clean_lines(
         stream.select(
@@ -202,6 +219,20 @@ def stream_curate_docs(
     scored = cleaned.withColumn("quality_score", quality_score("text")).filter(
         F.col("keep") & (F.col("quality_score") >= min_quality)
     )
+    if corpus_sigs is not None:
+        scored = (
+            flag_corpus_dups(
+                scored,
+                corpus_sigs,
+                n_perm=corpus_n_perm,
+                bands=corpus_bands,
+                shingle=corpus_shingle,
+                text_col="text",
+                flag_col="_corpus_dup",
+            )
+            .filter(~F.col("_corpus_dup"))
+            .drop("_corpus_dup")
+        )
     # the bounded-state dedup tail is stream_dedup_exact itself (one
     # recipe, parameterized — not a second inline copy to diverge)
     return stream_dedup_exact(

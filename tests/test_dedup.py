@@ -841,3 +841,91 @@ def test_sig_store_rejects_mixed_parameters(spark, tmp_path):
         minhash_lsh_candidates(
             docs, n_perm=16, bands=8, precomputed_bands=mixed
         ).collect()
+
+
+def test_row_band_sigs_match_batch(spark, adversarial_docs):
+    """row_band_sig_cols (per-row HOF pipeline, streaming-safe) must be
+    VALUE-identical to band_signatures (explode+groupBy), band for
+    band, on word and shingle token units — it is the store-compatible
+    signature the streaming near-dup guard probes with."""
+    from proxyfeatureextraction_spark.operators.dedup import (
+        band_signatures,
+        row_band_sig_cols,
+    )
+
+    docs = adversarial_docs.limit(40)
+    for shingle in (None, 3):
+        batch = {
+            (r["doc_id"], r["band"]): r["sig"]
+            for r in band_signatures(
+                docs, n_perm=16, bands=8, shingle=shingle
+            ).collect()
+        }
+        cols = row_band_sig_cols("text", n_perm=16, bands=8, shingle=shingle)
+        roww = docs.select(
+            "doc_id", *[c.alias(f"s{b}") for b, c in enumerate(cols)]
+        ).collect()
+        assert len(batch) == 40 * 8
+        for r in roww:
+            for b in range(8):
+                assert r[f"s{b}"] == batch[(r["doc_id"], b)], (r["doc_id"], b)
+
+
+def test_row_band_sigs_empty_doc_is_null(spark):
+    from proxyfeatureextraction_spark.operators.dedup import row_band_sig_cols
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "word")],
+                               "doc_id long, text string")
+    cols = row_band_sig_cols("text", n_perm=8, bands=4)
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(f"s{b}") for b, c in enumerate(cols)]
+    ).collect()}
+    assert all(rows[1][f"s{b}"] is None for b in range(4))
+    assert all(rows[2][f"s{b}"] is None for b in range(4))
+    assert all(rows[3][f"s{b}"] is not None for b in range(4))
+
+
+def test_flag_corpus_dups_exact_near_fresh(spark):
+    """flag_corpus_dups vs a band_signature_store snapshot: exact copy
+    flagged, word-permuted near-dup (same word set -> every band
+    collides) flagged, fresh doc not flagged, empty doc not flagged.
+    The plan must stay stateless: no Window, no doc-keyed aggregation
+    on the probe side (that is what makes it streaming-legal)."""
+    from proxyfeatureextraction_spark.operators.dedup import (
+        band_signature_store,
+        flag_corpus_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "The quick brown fox jumps over the lazy dog"),
+         (101, "completely different corpus content about spark engines")],
+        "doc_id long, text string",
+    )
+    store = band_signature_store(corpus, n_perm=16, bands=8)
+    probe = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog"),   # exact
+         (2, "dog lazy the over jumps fox brown quick The"),   # permuted
+         (3, "an entirely fresh document nothing shared here"),  # fresh
+         (4, "")],                                              # empty
+        "doc_id long, text string",
+    )
+    out = flag_corpus_dups(probe, store, n_perm=16, bands=8)
+    flags = {r["doc_id"]: r["corpus_dup"] for r in out.collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False}
+    assert set(out.columns) == {"doc_id", "text", "corpus_dup"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_flag_corpus_dups_validates_store_params(spark):
+    from proxyfeatureextraction_spark.operators.dedup import (
+        band_signature_store,
+        flag_corpus_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    store = band_signature_store(corpus, n_perm=16, bands=8)
+    with pytest.raises(ValueError, match="bands"):
+        flag_corpus_dups(corpus, store, n_perm=16, bands=4).collect()

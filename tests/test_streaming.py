@@ -305,3 +305,60 @@ def test_stream_curate_job_resumes_from_checkpoint(spark, tmp_path):
     main(args)
     pdf = spark.read.parquet(out).toPandas()
     assert sorted(pdf["doc_id"]) == [1, 2]  # no reprocessing of doc 1
+
+
+def test_stream_curate_near_dup_guard(spark, tmp_path):
+    """stream_curate_docs(corpus_sigs=...): a doc landing within the
+    watermark that exactly or NEARLY duplicates the persisted corpus
+    (shares LSH band signatures from a band_signature_store snapshot)
+    is dropped by a stateless stream-static join; fresh docs pass.
+    Batch parity: flag_corpus_dups on the same static input keeps the
+    same survivors."""
+    import datetime as dt
+
+    from proxyfeatureextraction_spark.operators.dedup import (
+        band_signature_store,
+        flag_corpus_dups,
+    )
+    from proxyfeatureextraction_spark.streaming.stream_features import (
+        run_to_memory,
+        stream_curate_docs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "corpus document about distributed query engines")],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "sig_store")
+    band_signature_store(corpus, n_perm=16, bands=8).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", t0),       # exact corpus dup
+        (2, "dog lazy the over jumps fox brown quick the", t0),       # near-dup (permuted)
+        (3, "a genuinely new document with novel words inside", t0),  # fresh
+        (4, "a genuinely new document with novel words inside",
+         t0 + dt.timedelta(minutes=1)),                               # in-stream exact dup
+    ]
+    src = str(tmp_path / "near_dup_stream")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_curate_docs(stream, corpus_sigs=store)
+    run_to_memory(out, "near_dup_curate", mode="append")
+    got = sorted(r["doc_id"] for r in spark.table("near_dup_curate").collect())
+    assert got == [3] or got == [4]  # corpus dups dropped; one fresh survivor
+
+    # batch parity on the corpus-guard stage itself
+    static = spark.createDataFrame(rows, schema)
+    kept = sorted(
+        r["doc_id"]
+        for r in flag_corpus_dups(static, store, n_perm=16, bands=8)
+        .filter("NOT corpus_dup")
+        .collect()
+    )
+    assert kept == [3, 4]
