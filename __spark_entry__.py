@@ -1136,6 +1136,68 @@ def q_token_count_regex(spark, sf_dir):
     )
 
 
+# Fixed byte-level BPE merges table for the token_count_bpe gate — the
+# "published merges.txt" role (production loads e.g. the GPT-2 release via
+# functions.bpe.load_merges_txt).  Trained ONCE, offline, with
+# functions.bpe.train_bpe_merges over the deterministic sf0.001 synth
+# corpus (48 merges, tie-broken lexicographically, so the table is
+# reproducible); hardcoded so the gate is scale-factor-independent and the
+# DuckDB oracle can embed the identical literal.  'Ġ' is byte 0x20 under
+# the GPT-2 byte-to-unicode map (functions.bpe.bytes_to_unicode).
+_BPE_MERGES = [
+    ("Ġ", "s"), ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("Ġ", "a"), ("Ġ", "v"),
+    ("a", "s"), ("Ġ", "c"), ("m", "er"), ("a", "t"), ("Ġ", "f"),
+    ("Ġ", "t"), ("Ġ", "b"), ("a", "n"), ("c", "an"), ("lu", "m"),
+    ("lum", "n"), ("o", "lumn"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("par", "t"), ("u", "p"), ("Ġs", "ort"), ("Ġ", "window"),
+    ("Ġ", "order"), ("Ġc", "olumn"), ("Ġs", "can"), ("g", "g"),
+    ("a", "lu"), ("alu", "e"), ("Ġ", "part"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("Ġa", "gg"), ("j", "o"),
+    ("jo", "in"), ("g", "e"), ("mer", "ge"),
+]
+
+_BPE_MS_LIT = "[" + ", ".join("'%s %s'" % p for p in _BPE_MERGES) + "]"
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (functions/lm.py): bigram LM
+    trained on the deterministic reference slice doc_id % 10 == 0,
+    cross-entropy + perplexity for every document.  ln/exp of
+    engine-computed integer-count ratios keeps the scores hash-portable
+    at round6."""
+    from proxyfeatureextraction_spark.functions.lm import (
+        lm_cross_entropy,
+        ngram_lm_counts,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    lm = ngram_lm_counts(d.filter(F.col("doc_id") % 10 == 0))
+    return lm_cross_entropy(d, lm).select(
+        "doc_id",
+        "n_tok",
+        _R6(F.col("ce"), "ce"),
+        _R6(F.col("ppl"), "ppl"),
+    )
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """REAL byte-level BPE token counts (functions/bpe.py) under the fixed
+    published-style merges table — the counts ``pack_sequences(tok_col=...)``
+    bins against a real tokenizer budget.  The DuckDB twin replays the
+    greedy encoder as a recursive CTE merging the leftmost lowest-rank
+    pair one step at a time — equivalent to the batch merge because any
+    learned pair containing a merged symbol ranks strictly later than the
+    merge that created it."""
+    from proxyfeatureextraction_spark.functions.bpe import bpe_token_count
+
+    d = _table(spark, sf_dir, "documents")
+    return bpe_token_count(d, _BPE_MERGES, out_col="n_bpe").select(
+        "doc_id", "n_bpe"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-overlap language-ID heuristic (en vs es marker sets)."""
     d = _table(spark, sf_dir, "documents")
@@ -1782,6 +1844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tumbling_keyed": q_tumbling_keyed,
         "prefix_cumsum": q_prefix_cumsum,
+        "lm_perplexity": q_lm_perplexity,
+        "token_count_bpe": q_token_count_bpe,
         "interarrival": q_interarrival,
         "interval_join": q_interval_join,
         # ---- entries below are past the driver's 50-entry window this ----
@@ -2452,6 +2516,82 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
                length(text) AS n_chars_q
         FROM documents
+        """,
+        "lm_perplexity": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_prepend('<s>', list_filter(string_split(text, ' '),
+                                                 w -> length(w) > 0)) AS a
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, a[t.i] AS w1, a[t.i + 1] AS w2
+          FROM toks, UNNEST(range(1, len(a))) AS t(i)
+        ),
+        refbg AS (SELECT * FROM bg WHERE doc_id % 10 = 0),
+        bi  AS (SELECT w1, w2, count(*) AS c2 FROM refbg GROUP BY w1, w2),
+        uni AS (SELECT w1, count(*) AS c1 FROM refbg GROUP BY w1),
+        voc AS (SELECT count(DISTINCT w2) AS v FROM refbg),
+        scored AS (
+          SELECT bg.doc_id,
+                 ln(coalesce(bi.c2, 0) + 1) - ln(coalesce(uni.c1, 0) + voc.v)
+                   AS logp
+          FROM bg LEFT JOIN bi USING (w1, w2)
+                  LEFT JOIN uni USING (w1) CROSS JOIN voc
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_tok, -avg(logp) AS ce
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(agg.n_tok, 0) AS BIGINT) AS n_tok,
+               round(agg.ce, 6) AS ce,
+               round(exp(agg.ce), 6) AS ppl
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # Greedy BPE replay: one leftmost lowest-rank merge per recursion
+        # step (== the batch merge; see q_token_count_bpe docstring).  The
+        # RE2 pretokenizer ' ?[a-z]+' is the exact twin of functions.bpe.
+        # PRETOKEN_RE on this corpus (lowercase words, single spaces —
+        # contraction/digit/symbol/lookahead branches can never fire).
+        "token_count_bpe": f"""
+        WITH RECURSIVE
+        pts AS (
+          SELECT d.doc_id, t.i AS pt_id,
+                 regexp_extract_all(
+                   replace(regexp_extract_all(d.text, ' ?[a-z]+')[t.i],
+                           ' ', 'Ġ'), '.') AS syms
+          FROM documents d,
+               UNNEST(range(1, len(regexp_extract_all(d.text, ' ?[a-z]+')) + 1))
+                 AS t(i)
+        ),
+        enc AS (
+          SELECT doc_id, pt_id, syms FROM pts
+          UNION ALL
+          SELECT doc_id, pt_id,
+                 syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms
+          FROM (
+            SELECT doc_id, pt_id, syms,
+                   list_position(prs, list_min(list_filter(prs, p -> p > 0))) AS bp
+            FROM (
+              SELECT doc_id, pt_id, syms,
+                     [coalesce(list_position({_BPE_MS_LIT},
+                                             syms[i] || ' ' || syms[i + 1]), 0)
+                      FOR i IN range(1, len(syms))] AS prs
+              FROM enc
+            )
+          )
+          WHERE bp IS NOT NULL
+        ),
+        counts AS (
+          SELECT doc_id, pt_id, min(len(syms)) AS ntok
+          FROM enc GROUP BY doc_id, pt_id
+        ),
+        agg AS (
+          SELECT doc_id, sum(ntok) AS n_bpe FROM counts GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe
+        FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "lang_id": """
         WITH t AS (

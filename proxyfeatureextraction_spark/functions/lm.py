@@ -1,0 +1,140 @@
+"""N-gram language-model document scoring (CCNet-style quality signal).
+
+Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", scores every document by the perplexity
+of a language model trained on a trusted reference corpus and keeps the
+low-perplexity (reference-like) tail — the single most load-bearing
+quality signal in that pipeline (production uses a KenLM 5-gram,
+Heafield 2011; the container has no KenLM, so this is an add-one
+Laplace-smoothed bigram LM — Chen & Goodman 1996 §2 — built from the
+same corpus-count primitives).
+
+Everything is expressed as DataFrame joins and higher-order functions
+(zero Python UDFs), so the whole scorer stays inside whole-stage
+codegen:
+
+- ``ngram_lm_counts``: one pass over the reference corpus producing the
+  context-count table ``uni(w1, c1)``, the bigram-count table
+  ``bi(w1, w2, c2)`` and the one-row vocabulary size ``vocab(v)``.
+  All three are vocabulary-bounded — orders of magnitude smaller than
+  the corpus — which is what makes the scoring join broadcast-able.
+- ``lm_cross_entropy``: explode each scored document into its bigrams
+  (``<s>``-prefixed, so every real token is predicted exactly once),
+  broadcast-join the count tables, and aggregate
+  ``ce = -avg(ln((c2 + 1) / (c1 + v)))`` per document;
+  ``ppl = exp(ce)``.
+
+Scale shape: the count tables broadcast (vocab-bounded); the only
+exchange over the scored corpus is the final ``groupBy(id_col)`` —
+partial-aggregated map-side, keyed on the document id, so no hot keys.
+The log-probability refactors to ``ln(c2 + 1) - ln(c1 + v)`` — both
+logarithms of engine-computed INTEGER counts, which are bit-portable
+across Spark and DuckDB (the same trick the DSIR gate relies on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+
+
+def _tokens(text_col) -> "F.Column":
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), " "), lambda w: F.length(w) > 0
+    )
+
+
+def _bigrams(text_col) -> "F.Column":
+    """array<struct<w1,w2>> of the <s>-prefixed token stream — one
+    bigram per real token, so ce averages over exactly n_tok terms.
+    Built by indexed transform over the token array (NOT
+    ``sequence(1, n-1)``, which steps BACKWARD to [1, 0] when n = 1 —
+    i.e. on an empty document); ``try_element_at`` at index 0 yields
+    NULL, coalesced to the <s> context for the first real token."""
+    t = _tokens(text_col)
+    return F.transform(
+        t,
+        lambda w, i: F.struct(
+            F.coalesce(
+                F.try_element_at(t, F.nullif(i, F.lit(0))), F.lit(BOS)
+            ).alias("w1"),
+            w.alias("w2"),
+        ),
+    )
+
+
+def ngram_lm_counts(
+    ref: DataFrame, text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """Train the bigram LM: count tables from the reference corpus.
+
+    Returns ``{"uni": DF[w1, c1], "bi": DF[w1, w2, c2], "vocab": DF[v]}``.
+    ``c1`` counts w1 as a CONTEXT (number of bigrams it starts), so the
+    smoothed conditionals sum to 1 over the vocabulary; ``v`` is the
+    number of distinct real tokens (every real token occurs as some
+    bigram's w2 thanks to the <s> prefix, so ``distinct w2`` is exact).
+    """
+    bg = ref.select(F.explode(_bigrams(text_col)).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.agg(F.countDistinct("w2").alias("v"))
+    return {"uni": uni, "bi": bi, "vocab": vocab}
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    lm: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under the bigram LM.
+
+    Output: ``(id_col, n_tok, ce, ppl)``; empty documents get
+    ``n_tok = 0`` and NULL scores (no bigrams to average over).  Laplace
+    add-one smoothing handles every unseen word/bigram, so the score is
+    total — no document can blow up to infinity.
+    """
+    bg = df.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("b")
+    ).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    scored = (
+        bg.join(F.broadcast(lm["bi"]), ["w1", "w2"], "left")
+        .join(F.broadcast(lm["uni"].withColumnRenamed("w1", "w1u")),
+              F.col("w1") == F.col("w1u"), "left")
+        .crossJoin(F.broadcast(lm["vocab"]))
+        .select(
+            id_col,
+            (
+                F.log(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+                - F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        (-F.avg("logp")).alias("ce"),
+    )
+    out = agg.select(
+        id_col,
+        "n_tok",
+        F.col("ce"),
+        F.exp("ce").alias("ppl"),
+    )
+    # empty docs produce zero bigram rows — restore them with NULL scores
+    base = df.select(id_col).distinct()
+    return (
+        base.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
+            "ce",
+            "ppl",
+        )
+    )

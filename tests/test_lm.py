@@ -1,0 +1,106 @@
+"""CCNet-style bigram-LM scoring: hand-replay parity on a tiny corpus,
+smoothing totality, empty-doc handling, and the JVM-only plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from proxyfeatureextraction_spark.functions.lm import (
+    BOS,
+    lm_cross_entropy,
+    ngram_lm_counts,
+)
+
+REF = [
+    (0, "the quick fox jumps over the lazy dog"),
+    (1, "the quick dog sleeps under the warm sun"),
+    (2, "a lazy fox naps while the dog runs"),
+]
+SCORED = REF + [
+    (3, "the quick fox runs"),          # in-vocabulary
+    (4, "zebras quantize gradients"),   # fully out-of-vocabulary
+    (5, ""),                            # empty
+]
+
+
+def _py_lm(ref_texts):
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    vocab = set()
+    for t in ref_texts:
+        toks = [BOS] + [w for w in t.split(" ") if w]
+        for w1, w2 in zip(toks, toks[1:]):
+            uni[w1] = uni.get(w1, 0) + 1
+            bi[(w1, w2)] = bi.get((w1, w2), 0) + 1
+            vocab.add(w2)
+    return uni, bi, len(vocab)
+
+
+def _py_ce(text, uni, bi, v):
+    toks = [BOS] + [w for w in text.split(" ") if w]
+    lps = [
+        math.log(bi.get((w1, w2), 0) + 1) - math.log(uni.get(w1, 0) + v)
+        for w1, w2 in zip(toks, toks[1:])
+    ]
+    return -sum(lps) / len(lps) if lps else None
+
+
+@pytest.fixture(scope="module")
+def lm_result(spark):
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    docs = spark.createDataFrame(SCORED, ["doc_id", "text"])
+    lm = ngram_lm_counts(ref)
+    out = lm_cross_entropy(docs, lm)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_matches_python_replay(lm_result):
+    uni, bi, v = _py_lm([t for _, t in REF])
+    for did, text in SCORED:
+        exp = _py_ce(text, uni, bi, v)
+        got = lm_result[did]["ce"]
+        if exp is None:
+            assert got is None
+        else:
+            assert got == pytest.approx(exp, rel=1e-12), (did, text)
+            assert lm_result[did]["ppl"] == pytest.approx(
+                math.exp(exp), rel=1e-12
+            )
+
+
+def test_smoothing_is_total_and_oov_scores_worse(lm_result):
+    # fully-OOV doc still gets a finite score, and a worse (higher) one
+    # than the in-vocabulary doc
+    assert lm_result[4]["ce"] is not None
+    assert math.isfinite(lm_result[4]["ce"])
+    assert lm_result[4]["ce"] > lm_result[3]["ce"]
+
+
+def test_counts_and_empty_doc(lm_result):
+    assert lm_result[5]["n_tok"] == 0
+    assert lm_result[5]["ce"] is None and lm_result[5]["ppl"] is None
+    # n_tok counts real tokens (one bigram per token via the <s> prefix)
+    assert lm_result[3]["n_tok"] == 4
+
+
+def test_vocab_and_context_counts(spark):
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    lm = ngram_lm_counts(ref)
+    uni, bi, v = _py_lm([t for _, t in REF])
+    assert lm["vocab"].collect()[0]["v"] == v
+    got_uni = {r["w1"]: r["c1"] for r in lm["uni"].collect()}
+    assert got_uni == uni
+    # <s> context count = number of reference documents
+    assert got_uni[BOS] == len(REF)
+
+
+def test_plan_jvm_only_and_broadcast(spark):
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    docs = spark.createDataFrame(SCORED, ["doc_id", "text"])
+    out = lm_cross_entropy(docs, ngram_lm_counts(ref))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
