@@ -1161,6 +1161,20 @@ _BPE_MERGES = [
 _BPE_MS_LIT = "[" + ", ".join("'%s %s'" % p for p in _BPE_MERGES) + "]"
 
 
+def q_dedup_substrings(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2021, operators/dedup.py):
+    corpus-wide duplicated >= k-token regions cut out of every doc.
+    The fixture is a single parquet split, so the wrapper repartitions
+    before the explode-heavy gram side (the shape a multi-split
+    production input has for free)."""
+    from proxyfeatureextraction_spark.operators.dedup import dedup_substrings
+
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup_substrings(d, k=8)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring (functions/lm.py): bigram LM
     trained on the deterministic reference slice doc_id % 10 == 0,
@@ -1843,9 +1857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "tumbling_keyed": q_tumbling_keyed,
-        "prefix_cumsum": q_prefix_cumsum,
+        "dedup_substrings": q_dedup_substrings,
         "lm_perplexity": q_lm_perplexity,
         "token_count_bpe": q_token_count_bpe,
+        "prefix_cumsum": q_prefix_cumsum,
         "interarrival": q_interarrival,
         "interval_join": q_interval_join,
         # ---- entries below are past the driver's 50-entry window this ----
@@ -2516,6 +2531,70 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
                length(text) AS n_chars_q
         FROM documents
+        """,
+        # exact-substring dedup: duplicate k-gram digests -> covered
+        # islands (gaps-and-islands windows are fine HERE — it's the
+        # oracle; the Spark side merges spans with an in-array fold)
+        "dedup_substrings": f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+                                     w -> length(w) > 0) AS a
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, t.i AS i,
+                 {_word_hash_sql("array_to_string(a[t.i:t.i+7], ' ')")} AS g
+          FROM toks, UNNEST(range(1, len(a) - 8 + 2)) AS t(i)
+          WHERE len(a) >= 8
+        ),
+        dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        ds AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dupg)),
+        isl AS (
+          SELECT doc_id, i,
+                 CASE WHEN i > coalesce(max(i + 7) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1000000) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM ds
+        ),
+        isl2 AS (
+          SELECT doc_id, i,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, island, min(i) AS s, max(i) + 7 AS e
+          FROM isl2 GROUP BY doc_id, island
+        ),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_dup
+          FROM spans GROUP BY doc_id
+        ),
+        pos AS (
+          SELECT doc_id, t.i AS p, a[t.i] AS w
+          FROM toks, UNNEST(range(1, len(a) + 1)) AS t(i)
+        ),
+        ct AS (
+          SELECT p.doc_id,
+                 coalesce(string_agg(p.w, ' ' ORDER BY p.p)
+                          FILTER (WHERE NOT p.cov), '') AS clean_text
+          FROM (
+            SELECT pos.*, EXISTS(SELECT 1 FROM spans s
+                                 WHERE s.doc_id = pos.doc_id
+                                   AND pos.p BETWEEN s.s AND s.e) AS cov
+            FROM pos
+          ) p
+          GROUP BY p.doc_id
+        )
+        SELECT t.doc_id,
+               len(t.a) AS n_tok,
+               CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_tok,
+               CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+               coalesce(ct.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN per_doc pd USING (doc_id)
+                    LEFT JOIN ct USING (doc_id)
         """,
         "lm_perplexity": """
         WITH toks AS (

@@ -121,6 +121,26 @@ def _digest(col) -> tuple[Column, Column]:
     return F.xxhash64(c), F.sha2(c, 256)
 
 
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop every row whose key group holds more than ``cap`` rows —
+    the shared hot-bucket guard for the candidate-join pipelines.
+
+    Implemented as a map-side-partial ``groupBy(keys).count()`` of the
+    over-cap key set anti-joined back, NOT as a count window: a window
+    repartitions on the same keys and funnels every member of the
+    hottest bucket — exactly the rows the guard exists to protect
+    against — through a single task before any can be dropped. The
+    aggregate form partials on the map side, and the anti-join's build
+    side holds only the (rare, tiny) over-cap keys."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > cap)
+        .select(*keys)
+    )
+    return df.join(hot, keys, "left_anti")
+
+
 def exact_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -791,13 +811,7 @@ def minhash_lsh_candidates(
             base.select(F.col(id_col).alias("doc_id"), flag_col), "doc_id"
         )
     if max_bucket is not None:
-        bands_df = (
-            bands_df.withColumn(
-                "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
-            )
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+        bands_df = _drop_hot_keys(bands_df, ["band", "sig"], max_bucket)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cond = (
         (F.col("a.band") == F.col("b.band"))
@@ -867,13 +881,7 @@ def winnow_pairs(
         F.explode(winnow_fingerprints(text_col, k=k, window=window)).alias("fp"),
     )
     if max_postings is not None:
-        fps = (
-            fps.withColumn(
-                "_pn", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-            )
-            .filter(F.col("_pn") <= max_postings)
-            .drop("_pn")
-        )
+        fps = _drop_hot_keys(fps, ["fp"], max_postings)
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(
@@ -886,6 +894,163 @@ def winnow_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def dup_substring_starts(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Start positions (1-based token index) of every word ``k``-gram
+    whose digest occurs ≥ ``min_count`` times CORPUS-WIDE — the
+    candidate layer of exact-substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    every substring of ≥ k tokens that appears more than once in the
+    corpus; their suffix-array construction and this k-gram-digest
+    formulation flag the same duplicated regions, k-gram-wise).
+
+    Scale shape: the only full-corpus exchanges carry
+    ``(doc_id, i int, g long)`` — never gram text; the duplicate-key
+    aggregate is a map-side-partial ``groupBy(g).count()`` (no windows,
+    no hot-key funnels — a billion-occurrence boilerplate gram costs a
+    partial count per task, not a single-task sort), and the flag comes
+    back via a semi-join on ``g``.  Digest is the portable polynomial
+    hash of the space-joined gram (same primitive as winnowing) so the
+    whole pipeline has a bit-identical DuckDB twin; at 100 TB swap in a
+    128-bit digest pair (xxhash64 + sha2) exactly as ``exact_dedup``
+    does if the ~1e-9 per-pair collision odds of the 30-bit hash
+    matter — collisions only ever over-flag.
+
+    Docs with fewer than ``k`` tokens contribute no grams (they cannot
+    contain a k-token duplicated span).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    grams = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .filter(F.size("_t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - k + 1),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        portable_word_hash(
+                            F.array_join(F.slice("_t", i, k), " ")
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+    )
+    dup_keys = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("g")
+    )
+    return grams.join(dup_keys, "g", "leftsemi").select("doc_id", "i")
+
+
+def dedup_substrings(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021): cut every
+    duplicated ≥ k-token region out of every document.
+
+    Output per input doc: ``(id_col, n_tok, n_dup_tok, n_spans,
+    clean_text)`` — ``n_spans`` maximal removed regions (overlapping /
+    back-to-back duplicated k-grams merge into one span), ``n_dup_tok``
+    tokens removed, ``clean_text`` the surviving tokens in original
+    order ('' when the whole doc is duplicated boilerplate).
+
+    After the ``dup_substring_starts`` candidate layer, everything is
+    per-document: one ``collect_list`` of starts keyed on doc_id (no
+    hot keys — a doc's own start list is bounded by its token count),
+    an in-array span-merge fold, and one id-keyed join back to the
+    corpus to rewrite text (the single text-carrying exchange, same
+    recovery pattern as ``exact_dedup``'s keep-id join).
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    starts = (
+        dup_substring_starts(
+            df, k=k, id_col=id_col, text_col=text_col, min_count=min_count
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("_ss"))
+    )
+    empty_spans = F.array().cast("array<struct<s:int,e:int>>")
+    # fold the ASCENDING starts into merged spans [s, e] (token index,
+    # inclusive): start x extends the last span when x <= e + 1
+    # (overlap or back-to-back), else opens a new one
+    merged = F.aggregate(
+        F.col("_ss"),
+        empty_spans,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (x <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], x + F.lit(k - 1)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(x.alias("s"), (x + F.lit(k - 1)).alias("e"))
+                ),
+            )
+        ),
+    )
+    spans = F.coalesce(F.col("_spans"), empty_spans)
+    return (
+        base.join(starts, "doc_id", "left")
+        .select("doc_id", "_t", merged.alias("_spans"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.size("_t").alias("n_tok"),
+            F.aggregate(
+                spans,
+                F.lit(0),
+                lambda a, sp: a + sp["e"] - sp["s"] + 1,
+            ).alias("n_dup_tok"),
+            F.size(spans).alias("n_spans"),
+            F.array_join(
+                F.filter(
+                    F.col("_t"),
+                    lambda w, i: ~F.exists(
+                        spans,
+                        lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+                    ),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
     )
 
 
@@ -1001,13 +1166,7 @@ def simhash_candidates(
         ).alias("bv"),
     ).select("doc_id", "simhash", "bv.blk", "bv.val")
     if max_bucket is not None:
-        bands = (
-            bands.withColumn(
-                "_bn", F.count(F.lit(1)).over(Window.partitionBy("blk", "val"))
-            )
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+        bands = _drop_hot_keys(bands, ["blk", "val"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

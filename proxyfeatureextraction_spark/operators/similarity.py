@@ -270,15 +270,9 @@ def _bucketed_topk(
         )
 
     if max_bucket is not None:
-        from pyspark.sql import Window as W
+        from proxyfeatureextraction_spark.operators.dedup import _drop_hot_keys
 
-        bucketed = (
-            bucketed.withColumn(
-                "_bn", F.count(F.lit(1)).over(W.partitionBy("bucket"))
-            )
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+        bucketed = _drop_hot_keys(bucketed, ["bucket"], max_bucket)
     per_bucket = bucketed.groupBy("bucket").applyInPandas(rerank, schema=TOPK_SCHEMA)
     # best k per vector across buckets (dedupe identical pairs first)
     from pyspark.sql import Window
