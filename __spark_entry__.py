@@ -1161,6 +1161,34 @@ _BPE_MERGES = [
 _BPE_MS_LIT = "[" + ", ".join("'%s %s'" % p for p in _BPE_MERGES) + "]"
 
 
+def q_nb_quality(spark, sf_dir):
+    """Model-based quality filter (functions/nbc.py): multinomial
+    Naive Bayes trained on reference-vs-rest labels (the deterministic
+    doc_id % 10 == 0 slice plays 'reference'), per-doc posterior
+    log-odds + keep flag.  Every log argument is an engine-computed
+    integer count, so round6 scores hash-match; the keep sign is taken
+    on the unrounded value in both engines."""
+    from proxyfeatureextraction_spark.functions.nbc import (
+        nb_log_odds,
+        nb_train,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, "pos").otherwise("neg").alias(
+            "label"
+        ),
+    )
+    return nb_log_odds(d, nb_train(labeled), "pos", "neg").select(
+        "doc_id",
+        "n_tok",
+        _R6(F.col("log_odds"), "log_odds"),
+        "keep",
+    )
+
+
 def q_dedup_substrings(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2021, operators/dedup.py):
     corpus-wide duplicated >= k-token regions cut out of every doc.
@@ -1856,10 +1884,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_blocked": q_pit_blocked,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
-        "tumbling_keyed": q_tumbling_keyed,
         "dedup_substrings": q_dedup_substrings,
         "lm_perplexity": q_lm_perplexity,
         "token_count_bpe": q_token_count_bpe,
+        "nb_quality": q_nb_quality,
+        "tumbling_keyed": q_tumbling_keyed,
         "prefix_cumsum": q_prefix_cumsum,
         "interarrival": q_interarrival,
         "interval_join": q_interval_join,
@@ -2531,6 +2560,57 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
                length(text) AS n_chars_q
         FROM documents
+        """,
+        "nb_quality": """
+        WITH lab AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 10 = 0 THEN 'pos' ELSE 'neg' END AS label
+          FROM documents
+        ),
+        tk AS (
+          SELECT doc_id, label,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 0)) AS w
+          FROM lab
+        ),
+        tok AS (SELECT label, w, count(*) AS c FROM tk GROUP BY label, w),
+        ncl AS (SELECT label, count(*) AS n_c FROM tk GROUP BY label),
+        nd  AS (SELECT label, count(*) AS n_d FROM lab GROUP BY label),
+        voc AS (SELECT count(DISTINCT w) AS v FROM tk),
+        consts AS (
+          SELECT (SELECT n_c FROM ncl WHERE label = 'pos') AS np,
+                 (SELECT n_c FROM ncl WHERE label = 'neg') AS nn,
+                 ln((SELECT n_d FROM nd WHERE label = 'pos'))
+                 - ln((SELECT n_d FROM nd WHERE label = 'neg')) AS prior
+        ),
+        tw AS (
+          SELECT w,
+                 sum(CASE WHEN label = 'pos' THEN c END) AS cp,
+                 sum(CASE WHEN label = 'neg' THEN c END) AS cn
+          FROM tok GROUP BY w
+        ),
+        ex AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 0)) AS w
+          FROM documents
+        ),
+        per AS (
+          SELECT ex.doc_id,
+                 (ln(coalesce(tw.cp, 0) + 1) - ln(consts.np + voc.v))
+                 - (ln(coalesce(tw.cn, 0) + 1) - ln(consts.nn + voc.v)) AS llr
+          FROM ex LEFT JOIN tw USING (w) CROSS JOIN voc CROSS JOIN consts
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_tok, sum(llr) AS s
+          FROM per GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(agg.n_tok, 0) AS BIGINT) AS n_tok,
+               round(coalesce(agg.s, 0) + (SELECT prior FROM consts), 6)
+                 AS log_odds,
+               (coalesce(agg.s, 0) + (SELECT prior FROM consts)) > 0 AS keep
+        FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         # exact-substring dedup: duplicate k-gram digests -> covered
         # islands (gaps-and-islands windows are fine HERE — it's the

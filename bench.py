@@ -98,6 +98,8 @@ def main() -> None:
         "sample_weighted", "mix_corpus", "gopher_quality",
         "gopher_repetition", "clean_lines", "dedup_lines", "chunk_docs",
         "dsir_weights", "semantic_dedup", "shuffle_shards",
+        # round-5 additions
+        "dedup_substrings", "lm_perplexity", "token_count_bpe",
     ]
     extras: dict[str, float] = {}
     for name in extra:
