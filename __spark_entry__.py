@@ -1224,6 +1224,76 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail terciles (functions/lm.py:ppl_buckets):
+    per-lang perplexity cutoffs from ONE percentile aggregate broadcast
+    back — no global ntile window.  Buckets compare on round6 ppl, and
+    DuckDB quantile_cont on DOUBLE uses the same (n-1)·p interpolation
+    as Spark's exact percentile (probed: both give 2.6666666666666665
+    at p=1/3 on [1,2,4,8,16])."""
+    from proxyfeatureextraction_spark.functions.lm import (
+        ngram_lm_counts,
+        ppl_buckets,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    lm = ngram_lm_counts(d.filter(F.col("doc_id") % 10 == 0))
+    return ppl_buckets(d, lm, group_col="lang")
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-25 retrieval (functions/retrieval.py) for the
+    query 'dup vector window' ('dup' is the corpus's rare
+    discriminative term, df=25 at sf0.01).  The top-25 boundary gap is
+    ~1.5e-3 — far above cross-engine libm noise — so membership is
+    stable; the driver's compare is order-insensitive past that."""
+    from proxyfeatureextraction_spark.functions.retrieval import bm25_search
+
+    d = _table(spark, sf_dir, "documents")
+    out = bm25_search(d, "dup vector window", top_k=25)
+    return out.select("doc_id", "n_hit", _R6(F.col("score"), "score"))
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 tf-idf keywords per document (functions/retrieval.py).
+    Adjacent top-rank score gaps measured ≥ 2.5e-3 on this corpus, so
+    the (score desc, term) ranking is cross-engine stable; scores
+    emitted at round6."""
+    from proxyfeatureextraction_spark.functions.retrieval import (
+        tfidf_keywords,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    out = tfidf_keywords(d, top_m=3)
+    return out.select("doc_id", "rank", "w", "tf", _R6(F.col("score"), "score"))
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index with df cap 390 (functions/retrieval.py): the
+    stopword-class terms (df > 390 of 500 docs) are pruned by a count
+    aggregate BEFORE postings collect; posting lists serialize as
+    comma-joined sorted doc ids (canonical integer string — the
+    flow_pairs_arrays trick)."""
+    from proxyfeatureextraction_spark.functions.retrieval import (
+        inverted_index,
+    )
+
+    return inverted_index(_table(spark, sf_dir, "documents"), max_df=390)
+
+
+def q_domain_temperature(spark, sf_dir):
+    """Temperature-scaled domain-sampling weights (XLM-R α-sampling,
+    operators/curation.py:domain_temperature) over the source column at
+    α=0.3 — one per-group count, everything else on ≤ |sources| rows."""
+    from proxyfeatureextraction_spark.operators.curation import (
+        domain_temperature,
+    )
+
+    return domain_temperature(
+        _table(spark, sf_dir, "documents"), alpha=0.3, group_col="source"
+    )
+
+
 def q_token_count_bpe(spark, sf_dir):
     """REAL byte-level BPE token counts (functions/bpe.py) under the fixed
     published-style merges table — the counts ``pack_sequences(tok_col=...)``
@@ -1876,14 +1946,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
-        "corpus_report": q_corpus_report,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
-        # -- north-rule core (PIT / as-of / windows) ----------------------
-        "pit_row_features": q_pit_row_features,
-        "pit_blocked": q_pit_blocked,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
+        # -- new round-5 operators: first driver rows ---------------------
+        "bm25_search": q_bm25_search,
+        "tfidf_keywords": q_tfidf_keywords,
+        "inverted_index": q_inverted_index,
+        "ppl_buckets": q_ppl_buckets,
+        "domain_temperature": q_domain_temperature,
         "dedup_substrings": q_dedup_substrings,
         "lm_perplexity": q_lm_perplexity,
         "token_count_bpe": q_token_count_bpe,
@@ -1895,6 +1965,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries below are past the driver's 50-entry window this ----
         # ---- round: all have green CORRECTNESS_r04 rows and stay green ----
         # ---- under tools/check_entry.py (their code did not change) ------
+        # corpus_report's r5 change touches only the exact=False path
+        # (its gate runs exact); the four dedup entries' r5 cap de-skew
+        # is value-identical (plan pinned by test_hot_caps.py) — their
+        # r4 driver rows still evidence the values
+        "corpus_report": q_corpus_report,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "winnow_pairs": q_winnow_pairs,
+        "pit_row_features": q_pit_row_features,
+        "pit_blocked": q_pit_blocked,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "asof_global": q_asof_global,
         "salted_stats": q_salted_stats,
         "dedup_survivors": q_dedup_survivors,
@@ -1912,16 +1995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "top_ngrams": q_top_ngrams,
         "doc_winnow": q_doc_winnow,
-        "winnow_pairs": q_winnow_pairs,
         "profile_events": q_profile_events,
         "embedding_quantize": q_embedding_quantize,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "outer_align_zproduct": q_outer_align_zproduct,
@@ -2675,6 +2754,145 @@ def oracle_sql() -> dict[str, str]:
                coalesce(ct.clean_text, '') AS clean_text
         FROM toks t LEFT JOIN per_doc pd USING (doc_id)
                     LEFT JOIN ct USING (doc_id)
+        """,
+        "bm25_search": """
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 0)) AS w
+          FROM documents
+        ),
+        dt AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY doc_id, w),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        st AS (
+          SELECT count(DISTINCT doc_id) AS n,
+                 sum(tf) / count(DISTINCT doc_id) AS avgdl
+          FROM dt
+        ),
+        qt AS (SELECT unnest(['dup', 'vector', 'window']) AS w),
+        dfq AS (
+          SELECT dt.w, count(DISTINCT doc_id) AS df
+          FROM dt JOIN qt USING (w) GROUP BY dt.w
+        ),
+        sc AS (
+          SELECT dt.doc_id,
+                 ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (dt.tf * 2.2)
+                   / (dt.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS part
+          FROM dt JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+                 sum(part) AS score
+          FROM sc GROUP BY doc_id
+        )
+        SELECT doc_id, n_hit, round(score, 6) AS score
+        FROM agg ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        "tfidf_keywords": """
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 0)) AS w
+          FROM documents
+        ),
+        dt AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY doc_id, w),
+        dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM dt GROUP BY w),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+        sc AS (
+          SELECT doc_id, w, tf,
+                 tf * (ln((1.0 + nn.n) / (1.0 + dfq.df)) + 1.0) AS score
+          FROM dt JOIN dfq USING (w) CROSS JOIN nn
+        ),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, w) AS rank
+          FROM sc
+        )
+        SELECT doc_id, rank, w, CAST(tf AS BIGINT) AS tf,
+               round(score, 6) AS score
+        FROM r WHERE rank <= 3
+        """,
+        "inverted_index": """
+        WITH pr AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      w -> length(w) > 0)) AS w
+            FROM documents
+          )
+        ),
+        keep AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS df
+          FROM pr GROUP BY w HAVING count(*) <= 390
+        )
+        SELECT w, df,
+               array_to_string(list(doc_id ORDER BY doc_id), ',')
+                 AS postings
+        FROM pr JOIN keep USING (w) GROUP BY w, df
+        """,
+        "ppl_buckets": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_prepend('<s>', list_filter(string_split(text, ' '),
+                                                 w -> length(w) > 0)) AS a
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, a[t.i] AS w1, a[t.i + 1] AS w2
+          FROM toks, UNNEST(range(1, len(a))) AS t(i)
+        ),
+        refbg AS (SELECT * FROM bg WHERE doc_id % 10 = 0),
+        bi  AS (SELECT w1, w2, count(*) AS c2 FROM refbg GROUP BY w1, w2),
+        uni AS (SELECT w1, count(*) AS c1 FROM refbg GROUP BY w1),
+        voc AS (SELECT count(DISTINCT w2) AS v FROM refbg),
+        scored AS (
+          SELECT bg.doc_id,
+                 ln(coalesce(bi.c2, 0) + 1) - ln(coalesce(uni.c1, 0) + voc.v)
+                   AS logp
+          FROM bg LEFT JOIN bi USING (w1, w2)
+                  LEFT JOIN uni USING (w1) CROSS JOIN voc
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_tok, -avg(logp) AS ce
+          FROM scored GROUP BY doc_id
+        ),
+        pp AS (
+          SELECT d.doc_id, d.lang,
+                 CAST(coalesce(agg.n_tok, 0) AS BIGINT) AS n_tok,
+                 round(exp(agg.ce), 6) AS ppl6
+          FROM documents d LEFT JOIN agg USING (doc_id)
+        ),
+        cuts AS (
+          SELECT lang, quantile_cont(ppl6, 1.0/3) AS c1,
+                 quantile_cont(ppl6, 2.0/3) AS c2
+          FROM pp GROUP BY lang
+        )
+        SELECT pp.doc_id, pp.lang, pp.n_tok, pp.ppl6,
+               CASE WHEN pp.ppl6 IS NULL THEN NULL
+                    WHEN pp.ppl6 <= c.c1 THEN 'head'
+                    WHEN pp.ppl6 <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM pp LEFT JOIN cuts c USING (lang)
+        """,
+        "domain_temperature": """
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ),
+        t AS (SELECT sum(n_docs) AS tot FROM c),
+        pw AS (
+          SELECT source, n_docs,
+                 CAST(n_docs AS DOUBLE) / tot AS p0,
+                 pow(CAST(n_docs AS DOUBLE) / tot, 0.3) AS pw
+          FROM c CROSS JOIN t
+        ),
+        s AS (SELECT sum(pw) AS s FROM pw)
+        SELECT source, n_docs, round(p0, 6) AS p,
+               round(pw / s.s, 6) AS w,
+               round(pw / s.s / p0, 6) AS boost
+        FROM pw CROSS JOIN s
         """,
         "lm_perplexity": """
         WITH toks AS (

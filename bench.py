@@ -100,6 +100,8 @@ def main() -> None:
         "dsir_weights", "semantic_dedup", "shuffle_shards",
         # round-5 additions
         "dedup_substrings", "lm_perplexity", "token_count_bpe",
+        "nb_quality", "bm25_search", "tfidf_keywords", "inverted_index",
+        "ppl_buckets", "domain_temperature",
     ]
     extras: dict[str, float] = {}
     for name in extra:

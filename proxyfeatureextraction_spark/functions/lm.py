@@ -138,3 +138,57 @@ def lm_cross_entropy(
             "ppl",
         )
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    lm: dict[str, DataFrame],
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per-``group_col`` perplexity
+    terciles (Wenzek et al. 2020 §4.4 — cutoffs are computed per
+    language, then every document is binned by comparison; CCNet keeps
+    "head" for the highest-quality slice).
+
+    Output: ``(id_col, group_col, n_tok, ppl6, bucket)`` with
+    ``bucket ∈ {head, middle, tail}`` (NULL for empty documents, which
+    also don't vote on the cutoffs).  Buckets compare on the
+    6-decimal-rounded perplexity so the assignment is reproducible
+    across engines and re-runs.
+
+    Scale shape: cutoffs come from ONE per-group percentile aggregate —
+    a map-side-partial groupBy, |groups| rows out, broadcast back; no
+    global sort, no corpus-wide window (the naive ``ntile(3)`` is a
+    single-partition funnel).  The exact ``percentile`` aggregate holds
+    per-group value multisets in executor memory; at 100 TB swap in
+    ``approx_percentile`` (CCNet itself ships FIXED per-language
+    cutoffs learned offline — the comparison stays the plan's only
+    corpus-side work either way).
+    """
+    scored = (
+        df.select(id_col, group_col)
+        .join(lm_cross_entropy(df, lm, text_col, id_col), id_col)
+        .select(
+            id_col, group_col, "n_tok", F.round("ppl", 6).alias("ppl6")
+        )
+    )
+    cuts = scored.groupBy(group_col).agg(
+        F.percentile("ppl6", F.lit(1 / 3)).alias("c1"),
+        F.percentile("ppl6", F.lit(2 / 3)).alias("c2"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), group_col, "left")
+        .select(
+            id_col,
+            group_col,
+            "n_tok",
+            "ppl6",
+            F.when(F.col("ppl6").isNull(), F.lit(None).cast("string"))
+            .when(F.col("ppl6") <= F.col("c1"), F.lit("head"))
+            .when(F.col("ppl6") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -1,0 +1,208 @@
+"""Text retrieval over the corpus: BM25 search, tf-idf keywords,
+inverted index.
+
+The query-side leg of the engine's text stack: the curation operators
+decide what stays in the corpus, these answer "which documents match
+this query / what is this document about" — the primitives behind
+corpus exploration, eval-set leakage triage, and topic-targeted
+sampling at training-data scale.
+
+- ``bm25_search``: Okapi BM25 (Robertson & Zaragoza 2009, "The
+  Probabilistic Relevance Framework") top-k retrieval for a literal
+  query string, with Lucene's non-negative idf variant
+  ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+- ``tfidf_keywords``: top-m terms per document by tf·idf
+  (Sparck Jones 1972), idf = ``ln((1+N)/(1+df)) + 1`` (the smooth
+  sklearn form — never divides by zero, never negative).
+- ``inverted_index``: term → sorted posting list, with a document-
+  frequency cap that prunes stopword-class terms BEFORE the postings
+  are collected (Lucene's common-terms idea) so no single term ever
+  aggregates an unbounded list.
+
+Scale shape: everything reduces to one token explode over the corpus
+plus map-side-partial ``groupBy`` aggregates; the per-query term table
+and the one-row corpus stats are broadcast.  Per-document windows
+(tfidf top-m) partition on ``doc_id`` — bounded by document length,
+never corpus-wide.  Zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col) -> "F.Column":
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), " "), lambda w: F.length(w) > 0
+    )
+
+
+def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w, tf, dl): per-document term frequencies + doc length."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` documents for ``query`` under Okapi BM25.
+
+    Returns ``(doc_id, n_hit, score)`` ordered by (score desc, doc_id)
+    — ``n_hit`` is how many distinct query terms the document contains.
+    Only documents containing at least one query term are scored, so
+    the corpus never fully materializes past the semi-join.
+
+    Every idf/length input is an engine-computed integer count; the
+    per-doc sum runs over at most ``len(query terms)`` addends.  The
+    plan is explode → broadcast-semi-join on the query terms →
+    map-side-partial per-doc agg → ``TakeOrderedAndProject`` (no
+    global sort).
+    """
+    terms = sorted({w for w in query.split(" ") if w})
+    if not terms:
+        raise ValueError("query must contain at least one token")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    spark = df.sparkSession
+    qt = spark.createDataFrame([(w,) for w in terms], ["w"])
+
+    dt = _doc_terms(df, id_col, text_col)
+    n_stats = dt.groupBy().agg(
+        F.countDistinct("doc_id").alias("n"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    # df(t) over the full corpus, but only for the query's terms
+    dfreq = (
+        dt.join(F.broadcast(qt), "w")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    scored = (
+        dt.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"), F.sum("part").alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_k)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_m: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_m`` keywords per document by tf·idf.
+
+    Returns ``(doc_id, rank, w, tf, score)``; ties broken by term text
+    so the pick is deterministic.  idf uses the smooth
+    ``ln((1+N)/(1+df)) + 1`` form.  The ranking window partitions on
+    ``doc_id`` — its partition size is the document's distinct-term
+    count, never a corpus-wide funnel.
+    """
+    if top_m < 1:
+        raise ValueError(f"top_m must be >= 1, got {top_m}")
+    dt = _doc_terms(df, id_col, text_col)
+    dfreq = dt.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = dt.groupBy().agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        dt.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_m)
+        .select("doc_id", "rank", "w", "tf", "score")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term → sorted posting list: ``(w, df, postings)`` with
+    ``postings`` the comma-joined sorted doc ids (canonical string —
+    integers render identically everywhere).
+
+    Terms appearing in more than ``max_df`` documents are dropped
+    BEFORE postings are collected — the df filter is a
+    map-side-partial count aggregate, so a stopword in a billion
+    documents costs a partial count per task and is gone before any
+    list exists.  ``collect_list`` therefore never exceeds ``max_df``
+    elements per group.
+    """
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    pairs = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(_tokens(text_col))).alias("w"),
+    )
+    keep = (
+        pairs.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    return (
+        pairs.join(keep, "w")
+        .groupBy("w", "df")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("doc_id"))
+            ).alias("postings")
+        )
+        .select("w", "df", "postings")
+    )

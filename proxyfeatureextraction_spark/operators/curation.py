@@ -276,6 +276,47 @@ def mix_corpus(
     )
 
 
+def domain_temperature(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled multinomial domain-sampling weights
+    (Conneau et al. 2019, XLM-R §3.1; the same α-sampling used for
+    language balancing in mBERT/mT5): ``w_g = p_g^α / Σ_h p_h^α`` where
+    ``p_g`` is group ``g``'s share of the corpus.  ``α < 1`` flattens
+    the mixture — rare domains are upsampled, dominant ones damped —
+    and the output feeds straight into ``mix_corpus`` /
+    ``weighted_sample_per_group`` as target weights.
+
+    Output: ``(group_col, n_docs, p, w, boost)`` — ``boost = w / p`` is
+    the per-group up/down-sampling factor.  Scale shape: ONE map-side-
+    partial per-group count; everything after runs on ≤ |groups| rows
+    (one-row total and normalizer frames, broadcast) — the corpus is
+    scanned exactly once.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_tot"))
+    pw = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("_tot")).alias("_p"),
+        F.pow(F.col("n_docs").cast("double") / F.col("_tot"), F.lit(alpha)).alias(
+            "_pw"
+        ),
+    )
+    norm = pw.agg(F.sum("_pw").alias("_s"))
+    return pw.crossJoin(F.broadcast(norm)).select(
+        group_col,
+        "n_docs",
+        F.round("_p", 6).alias("p"),
+        F.round(F.col("_pw") / F.col("_s"), 6).alias("w"),
+        F.round(F.col("_pw") / F.col("_s") / F.col("_p"), 6).alias("boost"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1122,3 +1122,59 @@ def test_mix_corpus_zero_weight_groups_defined(spark):
     )
     out2 = mix_corpus(df2, {"a": 0.0, "b": 1.0}, group_col="lang").collect()
     assert out2 and all(r["lang"] == "b" for r in out2)
+
+
+def test_domain_temperature_matches_python_replay(spark):
+    from proxyfeatureextraction_spark.operators.curation import (
+        domain_temperature,
+    )
+
+    sizes = {"web": 70, "code": 20, "books": 10}
+    rows = [(g, i) for g, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {r["source"]: r for r in domain_temperature(df, alpha=0.3).collect()}
+    tot = sum(sizes.values())
+    s = sum((n / tot) ** 0.3 for n in sizes.values())
+    for g, n in sizes.items():
+        p = n / tot
+        w = p**0.3 / s
+        assert got[g]["n_docs"] == n
+        assert got[g]["p"] == pytest.approx(round(p, 6), abs=1e-9)
+        assert got[g]["w"] == pytest.approx(round(w, 6), abs=1e-9)
+        assert got[g]["boost"] == pytest.approx(round(w / p, 6), abs=1e-9)
+
+
+def test_domain_temperature_flattens_toward_uniform(spark):
+    from proxyfeatureextraction_spark.operators.curation import (
+        domain_temperature,
+    )
+
+    rows = [(g, i) for g, n in {"big": 90, "small": 10}.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    # alpha < 1 upsamples the rare domain, damps the dominant one;
+    # alpha = 1 reproduces the natural shares exactly
+    w03 = {r["source"]: r for r in domain_temperature(df, alpha=0.3).collect()}
+    w10 = {r["source"]: r for r in domain_temperature(df, alpha=1.0).collect()}
+    assert w03["small"]["boost"] > 1.0 > w03["big"]["boost"]
+    assert w03["small"]["w"] > w10["small"]["w"]
+    assert w10["big"]["w"] == pytest.approx(0.9, abs=1e-9)
+    assert w10["small"]["boost"] == pytest.approx(1.0, abs=1e-9)
+    # weights always renormalize to 1
+    assert sum(r["w"] for r in w03.values()) == pytest.approx(1.0, abs=2e-6)
+    with pytest.raises(ValueError):
+        domain_temperature(df, alpha=0.0)
+
+
+def test_domain_temperature_single_scan_no_window(spark):
+    from proxyfeatureextraction_spark.operators.curation import (
+        domain_temperature,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "source string, doc_id long"
+    )
+    plan = (
+        domain_temperature(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowExec" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -104,3 +104,81 @@ def test_plan_jvm_only_and_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+BUCKET_DOCS = [
+    # two groups with enough spread for distinct terciles
+    (10, "en", "the quick fox runs"),
+    (11, "en", "the quick dog sleeps under the warm sun"),
+    (12, "en", "a lazy fox naps while the dog runs"),
+    (13, "en", "zebras quantize gradients"),
+    (14, "en", "the quick fox jumps over the lazy dog"),
+    (15, "en", "quantum zebras over gradients runs sun"),
+    (16, "xx", "the quick fox"),
+    (17, "xx", "gradient descent diverges"),
+    (18, "xx", "the lazy dog sleeps"),
+    (19, "en", ""),  # empty: NULL bucket, no vote on cutoffs
+]
+
+
+def _interp_percentile(vals, p):
+    vals = sorted(vals)
+    pos = (len(vals) - 1) * p
+    lo = int(math.floor(pos))
+    frac = pos - lo
+    hi = min(lo + 1, len(vals) - 1)
+    return vals[lo] + (vals[hi] - vals[lo]) * frac
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    from proxyfeatureextraction_spark.functions.lm import ppl_buckets
+
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    docs = spark.createDataFrame(BUCKET_DOCS, ["doc_id", "lang", "text"])
+    out = ppl_buckets(docs, ngram_lm_counts(ref))
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_ppl_buckets_match_python_replay(bucketed):
+    by_lang: dict[str, list[float]] = {}
+    for did, r in bucketed.items():
+        if r["ppl6"] is not None:
+            by_lang.setdefault(r["lang"], []).append(r["ppl6"])
+    for did, r in bucketed.items():
+        if r["ppl6"] is None:
+            assert r["bucket"] is None
+            continue
+        c1 = _interp_percentile(by_lang[r["lang"]], 1 / 3)
+        c2 = _interp_percentile(by_lang[r["lang"]], 2 / 3)
+        exp = "head" if r["ppl6"] <= c1 else "middle" if r["ppl6"] <= c2 else "tail"
+        assert r["bucket"] == exp, (did, r["ppl6"], c1, c2)
+
+
+def test_ppl_buckets_ordered_within_group(bucketed):
+    rank = {"head": 0, "middle": 1, "tail": 2}
+    rows = [r for r in bucketed.values() if r["bucket"] is not None]
+    for a in rows:
+        for b in rows:
+            if a["lang"] == b["lang"] and a["ppl6"] < b["ppl6"]:
+                assert rank[a["bucket"]] <= rank[b["bucket"]]
+    # every group with >= 3 docs uses all three buckets at this spread
+    en = {r["bucket"] for r in rows if r["lang"] == "en"}
+    assert en == {"head", "middle", "tail"}
+
+
+def test_ppl_buckets_no_global_window(spark):
+    from proxyfeatureextraction_spark.functions.lm import ppl_buckets
+
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    docs = spark.createDataFrame(BUCKET_DOCS, ["doc_id", "lang", "text"])
+    plan = (
+        ppl_buckets(docs, ngram_lm_counts(ref))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # cutoffs come from a groupBy aggregate broadcast back — a global
+    # ntile/rank window would funnel the corpus into one partition
+    assert "WindowExec" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
