@@ -1294,6 +1294,69 @@ def q_domain_temperature(spark, sf_dir):
     )
 
 
+def q_tfidf_allpairs(spark, sf_dir):
+    """EXACT all-pairs tf-idf cosine join at t=0.8 (Bayardo 2007
+    prefix filtering, functions/retrieval.py:tfidf_allpairs) — the
+    weighted-cosine complement to the minhash set-similarity gates.
+    Prefix filtering is lossless, so the oracle is the brute-force
+    term self-join; the nearest pair to the 0.8 boundary sits 2.3e-6
+    away (measured) — far above cross-engine float noise."""
+    from proxyfeatureextraction_spark.functions.retrieval import tfidf_allpairs
+
+    d = _table(spark, sf_dir, "documents")
+    out = tfidf_allpairs(d, threshold=0.8)
+    return out.select("a", "b", _R6(F.col("sim"), "sim"))
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions
+    (operators/curation.py:corpus_diff): old = docs sans doc_id%9==0,
+    new = docs sans doc_id%7==0 with doc_id%11==0 texts perturbed —
+    exercises all four statuses. The full-outer join exchanges
+    (doc_id, sha2-256) digests only, never text."""
+    from proxyfeatureextraction_spark.operators.curation import corpus_diff
+
+    d = _table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 9 != 0)
+    new = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+def q_contamination_report(spark, sf_dir):
+    """Per-EVAL-item contamination fractions
+    (operators/curation.py:contamination_report): for each eval doc
+    (doc_id%20==0), the share of its distinct word 8-grams present
+    anywhere in train — the graded eval-side twin of the boolean
+    decontaminate gate. Broadcast eval universe; train distinct runs
+    over rows pre-filtered to it."""
+    from proxyfeatureextraction_spark.operators.curation import (
+        contamination_report,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    return contamination_report(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        n=8,
+    )
+
+
+def q_token_histogram(spark, sf_dir):
+    """Per-source power-of-two token-length histogram
+    (operators/curation.py:token_histogram). The bucket is the bit
+    length of the token count via length(conv(n,10,2)) — integer-
+    exact on both engines, where floor(log2(double)) risks an
+    off-by-one at every power-of-two boundary."""
+    from proxyfeatureextraction_spark.operators.curation import token_histogram
+
+    return token_histogram(_table(spark, sf_dir, "documents"))
+
+
 def q_token_count_bpe(spark, sf_dir):
     """REAL byte-level BPE token counts (functions/bpe.py) under the fixed
     published-style merges table — the counts ``pack_sequences(tok_col=...)``
@@ -1958,6 +2021,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "token_count_bpe": q_token_count_bpe,
         "nb_quality": q_nb_quality,
+        # -- new round-5b operators: past the 50-entry window (it is
+        # -- already full with the rotation + round-5-changed gates);
+        # -- verified green under tools/check_entry.py this round,
+        # -- first driver rows with the round-6 rotation ------------------
+        "tfidf_allpairs": q_tfidf_allpairs,
+        "corpus_diff": q_corpus_diff,
+        "contamination_report": q_contamination_report,
+        "token_histogram": q_token_histogram,
         "tumbling_keyed": q_tumbling_keyed,
         "prefix_cumsum": q_prefix_cumsum,
         "interarrival": q_interarrival,
@@ -2893,6 +2964,94 @@ def oracle_sql() -> dict[str, str]:
                round(pw / s.s, 6) AS w,
                round(pw / s.s / p0, 6) AS boost
         FROM pw CROSS JOIN s
+        """,
+        # prefix filtering is LOSSLESS, so the oracle is the
+        # brute-force term self-join — identical result by design
+        "tfidf_allpairs": """
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                    w -> length(w) > 0)) AS w
+          FROM documents
+        ),
+        dt AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY doc_id, w),
+        dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM dt GROUP BY w),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+        wt AS (
+          SELECT doc_id, w,
+                 tf * (ln((1.0 + nn.n) / (1.0 + dfq.df)) + 1.0) AS wgt
+          FROM dt JOIN dfq USING (w) CROSS JOIN nn
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm
+                FROM wt GROUP BY doc_id),
+        u AS (SELECT doc_id, w, wgt / nrm AS u FROM wt JOIN nrm USING (doc_id)),
+        pr AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, sum(a.u * b.u) AS sim
+          FROM u a JOIN u b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, round(sim, 6) AS sim FROM pr WHERE sim >= 0.8
+        """,
+        "corpus_diff": """
+        WITH o AS (
+          SELECT doc_id, sha256(coalesce(text, '')) AS ho
+          FROM documents WHERE doc_id % 9 <> 0
+        ),
+        n AS (
+          SELECT doc_id,
+                 sha256(coalesce(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                                      ELSE text END, '')) AS hn
+          FROM documents WHERE doc_id % 7 <> 0
+        )
+        SELECT doc_id,
+               CASE WHEN ho IS NULL THEN 'added'
+                    WHEN hn IS NULL THEN 'removed'
+                    WHEN ho = hn THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n USING (doc_id)
+        """,
+        "contamination_report": f"""
+        WITH tr AS (SELECT doc_id,
+                           list_filter(string_split(coalesce(text, ''), ' '),
+                                       x -> length(x) > 0) AS toks
+                    FROM documents WHERE doc_id % 20 <> 0),
+        ev AS (SELECT doc_id,
+                      list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> length(x) > 0) AS toks
+               FROM documents WHERE doc_id % 20 = 0),
+        evg AS (SELECT doc_id AS eval_id, w FROM ev,
+                UNNEST(list_distinct({_shingle_list_sql('toks', 8)})) AS t(w)),
+        evs AS (SELECT DISTINCT w FROM evg),
+        hit AS (SELECT DISTINCT t.w
+                FROM (SELECT doc_id, w FROM tr,
+                      UNNEST(list_distinct({_shingle_list_sql('toks', 8)})) AS t(w)) t
+                JOIN evs USING (w)),
+        per AS (SELECT eval_id, count(*) AS n_grams,
+                       sum(CASE WHEN h.w IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                FROM evg LEFT JOIN hit h USING (w) GROUP BY eval_id)
+        SELECT e.doc_id AS eval_id,
+               CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(per.n_hit, 0) AS BIGINT) AS n_hit,
+               round(CASE WHEN coalesce(per.n_grams, 0) > 0
+                          THEN CAST(per.n_hit AS DOUBLE) / per.n_grams
+                          ELSE 0.0 END, 6) AS frac
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) e
+        LEFT JOIN per ON e.doc_id = per.eval_id
+        """,
+        # bucket = bit length via length(bin(n)) — integer-exact;
+        # floor(log2(double)) is one ulp from an off-by-one at 2^k
+        "token_histogram": """
+        WITH t AS (
+          SELECT source AS grp,
+                 length(bin(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                            w -> length(w) > 0)))) AS bucket,
+                 len(list_filter(string_split(coalesce(text, ''), ' '),
+                                 w -> length(w) > 0)) AS nt
+          FROM documents
+        )
+        SELECT grp, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS tok_sum
+        FROM t GROUP BY grp, bucket
         """,
         "lm_perplexity": """
         WITH toks AS (

@@ -101,7 +101,8 @@ def main() -> None:
         # round-5 additions
         "dedup_substrings", "lm_perplexity", "token_count_bpe",
         "nb_quality", "bm25_search", "tfidf_keywords", "inverted_index",
-        "ppl_buckets", "domain_temperature",
+        "ppl_buckets", "domain_temperature", "tfidf_allpairs",
+        "corpus_diff", "contamination_report", "token_histogram",
     ]
     extras: dict[str, float] = {}
     for name in extra:

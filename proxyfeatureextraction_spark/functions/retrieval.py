@@ -168,6 +168,100 @@ def tfidf_keywords(
     )
 
 
+def tfidf_allpairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs cosine similarity join over tf-idf vectors
+    (Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs Similarity
+    Search"): every document pair with tf-idf cosine >= ``threshold``,
+    as ``(a, b, sim)`` with ``a < b``.
+
+    The weighted-cosine complement to the MinHash/SimHash set-
+    similarity family: near-dup detection that sees term FREQUENCY and
+    rarity, not just set overlap — two docs sharing rare vocabulary
+    score higher than two sharing boilerplate.
+
+    Prefix filtering (lossless): each doc's terms are ordered rarest-
+    first (global ``(df, w)`` order) and a term is INDEXED only while
+    the unit-vector norm of the remaining tail is >= ``threshold``
+    (``sqrt(1 - cumsum(u^2)) >= t``).  By Cauchy–Schwarz a pair whose
+    shared terms are all unindexed in the lower-id doc has
+    ``sim <= tail < t``, so joining only the indexed rows against full
+    vectors generates every qualifying pair — and because the indexed
+    prefix is each doc's RAREST vocabulary, the inverted join never
+    fans out on stopword-class terms the way a naive term self-join
+    does.  Candidates are then verified with the exact dot product, so
+    the result is identical to the brute-force join.
+
+    Scale shape: one explode + two map-side-partial aggs build the
+    vectors; the per-doc ordering window partitions on ``doc_id``
+    (bounded by document vocabulary, never corpus-wide); the candidate
+    join keys on the indexed (rare) terms; verification joins the
+    candidate pair list back to the vectors on ``doc_id``.  Zero
+    Python UDFs, no driver collects.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    dt = _doc_terms(df, id_col, text_col)
+    dfreq = dt.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = dt.groupBy().agg(F.countDistinct("doc_id").alias("n"))
+    wt = (
+        dt.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("wgt"),
+        )
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm")
+    )
+    vec = wt.join(nrm, "doc_id").select(
+        "doc_id", "w", "df", (F.col("wgt") / F.col("nrm")).alias("u")
+    )
+    # rarest-first order within each doc; index while the tail norm of
+    # the not-yet-seen suffix can still reach the threshold on its own
+    order = Window.partitionBy("doc_id").orderBy("df", "w")
+    head = order.rowsBetween(Window.unboundedPreceding, -1)
+    idx = (
+        vec.withColumn(
+            "_pre", F.coalesce(F.sum(F.col("u") * F.col("u")).over(head), F.lit(0.0))
+        )
+        .filter(F.lit(1.0) - F.col("_pre") >= F.lit(threshold * threshold))
+        .select(F.col("doc_id").alias("a"), "w")
+    )
+    full = vec.select(F.col("doc_id").alias("b"), "w")
+    pairs = (
+        idx.join(full, "w")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = vec.select(F.col("doc_id").alias("a"), "w", F.col("u").alias("ua"))
+    vb = vec.select(F.col("doc_id").alias("b"), "w", F.col("u").alias("ub"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("ua") * F.col("ub")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
 def inverted_index(
     df: DataFrame,
     max_df: int = 1000,

@@ -567,6 +567,142 @@ def corpus_report(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: ``(doc_id, status)``
+    with ``status ∈ {added, removed, changed, unchanged}`` — the audit
+    an incremental pipeline runs between crawls to decide what to
+    re-process (only ``added``/``changed`` need re-curation; the
+    ``dedup_incremental`` route then handles them against the persisted
+    signature stores).
+
+    Scale shape: both sides collapse to ``(doc_id, sha2-256(text))``
+    at the scan — the full-outer join exchanges 64-byte digests keyed
+    on ``doc_id``, never document text, and each side is one map-side
+    projection of its snapshot.  Null text hashes as the empty string
+    so a null-vs-empty flap doesn't read as a change.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_ho"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_hn"),
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-EVAL-item contamination: for each eval document, the
+    fraction of its distinct word ``n``-grams that appear anywhere in
+    the training corpus — the graded eval-integrity report published
+    alongside GPT-3/PaLM-style dataset cards (``decontaminate`` is the
+    train-side boolean twin; this is the eval-side measurement that
+    says WHICH benchmark items leak and how badly).
+
+    Returns ``(eval_id, n_grams, n_hit, frac)`` for every eval doc;
+    ``frac = n_hit / n_grams`` rounded to 6 digits.
+
+    Scale shape: the eval side's distinct gram universe broadcasts (an
+    eval suite is tiny next to a 100 TB corpus); the train scan is
+    semi-joined against that broadcast FIRST, so the only train-side
+    aggregation — distinct matched grams — runs over rows already
+    filtered to the eval universe (bounded by it, map-side partial).
+    The per-item tally then joins eval grams to that bounded hit set,
+    broadcast again.  One full corpus scan, zero full-data shuffles.
+    """
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(_shingle_col(text_col, n))).alias("w"),
+    )
+    ev_set = F.broadcast(ev.select("w").distinct())
+    hit = F.broadcast(
+        train.select(
+            F.explode(F.array_distinct(_shingle_col(text_col, n))).alias("w")
+        )
+        .join(ev_set, "w")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_item = (
+        ev.join(hit, "w", "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return (
+        eval_df.select(F.col(id_col).alias("eval_id"))
+        .join(per_item, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_hit", F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("frac"),
+        )
+    )
+
+
+def token_histogram(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-length histogram on power-of-two bins:
+    ``(group_col, bucket, n_docs, tok_sum)`` where ``bucket`` is the
+    BIT LENGTH of the whitespace token count (0 tokens → bucket 1,
+    1 → 1, 2-3 → 2, 4-7 → 3, …) — the length-distribution audit that
+    sizes context windows and spots truncated/concatenated drops.
+
+    The bucket is computed as ``length(conv(n_tok, 10, 2))`` — an
+    integer string length, bit-exact across engines, where
+    ``floor(log2(...))`` on doubles is one libm ulp away from an
+    off-by-one at every power-of-two boundary.  One map-side-partial
+    groupBy; output is ≤ |groups| × 64 rows.
+    """
+    from proxyfeatureextraction_spark.functions.text import token_count
+
+    nt = token_count(text_col).cast("long")
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.length(F.conv(nt.cast("string"), 10, 2)).alias("bucket"),
+            nt.alias("_nt"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("tok_sum"),
+        )
+    )
+
+
 def profile_numeric(
     df: DataFrame, cols: list[str], round_digits: int = 6
 ) -> DataFrame:

@@ -1178,3 +1178,126 @@ def test_domain_temperature_single_scan_no_window(spark):
     )
     assert "WindowExec" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus_diff / contamination_report / token_histogram (round 5b)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diff_statuses(spark):
+    from proxyfeatureextraction_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        # null text hashes as '' so a null→empty flap is NOT a change
+        5: "unchanged",
+    }
+
+
+def test_corpus_diff_digest_only_exchange(spark):
+    from proxyfeatureextraction_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame([(1, "x" * 50)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "x" * 50)], "doc_id long, text string")
+    plan = (
+        corpus_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the join must consume pre-hashed projections: the raw text column
+    # appears only inside the sha2 scan-side Projects (and the scans
+    # themselves), never in the join keys or output
+    for line in plan.splitlines():
+        if "text#" in line:
+            assert "sha2(" in line or "LogicalRDD" in line, line
+        if "Join" in line:
+            assert "text#" not in line
+
+
+def test_contamination_report_fractions(spark):
+    from proxyfeatureextraction_spark.operators.curation import (
+        contamination_report,
+    )
+
+    # 9-word train doc → 8-grams: w1..w8, w2..w9
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "a b c d e f g h i"),   # both grams hit → frac 1.0
+            (101, "Z b c d e f g h Z"),   # 2 grams, 0 hit
+            (102, "short text"),          # <8 words → whole-text shingle, miss
+            (103, "b c d e f g h i EXTRA"),  # grams: b..i (hit), c..EXTRA (miss)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["eval_id"]: r for r in contamination_report(train, ev, n=8).collect()
+    }
+    assert got[100]["n_grams"] == 2 and got[100]["n_hit"] == 2
+    assert got[100]["frac"] == pytest.approx(1.0)
+    assert got[101]["n_hit"] == 0 and got[101]["frac"] == 0.0
+    assert got[102]["n_grams"] == 1 and got[102]["n_hit"] == 0
+    assert got[103]["n_grams"] == 2 and got[103]["n_hit"] == 1
+    assert got[103]["frac"] == pytest.approx(0.5)
+
+
+def test_contamination_report_broadcasts_eval(spark):
+    from proxyfeatureextraction_spark.operators.curation import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    plan = (
+        contamination_report(train, ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_histogram_bit_length_buckets(spark):
+    from proxyfeatureextraction_spark.operators.curation import token_histogram
+
+    rows = [
+        ("s", ""),             # 0 tokens  → bucket 1
+        ("s", "one"),          # 1 token   → bucket 1
+        ("s", "a b"),          # 2 tokens  → bucket 2
+        ("s", "a b c"),        # 3 tokens  → bucket 2
+        ("s", "a b c d"),      # 4 tokens  → bucket 3
+        ("t", " ".join("w" for _ in range(7))),   # 7  → bucket 3
+        ("t", " ".join("w" for _ in range(8))),   # 8  → bucket 4
+        ("t", " ".join("w" for _ in range(15))),  # 15 → bucket 4
+        ("t", " ".join("w" for _ in range(16))),  # 16 → bucket 5
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["grp"], r["bucket"]): (r["n_docs"], r["tok_sum"])
+        for r in token_histogram(df).collect()
+    }
+    assert got[("s", 1)] == (2, 1)
+    assert got[("s", 2)] == (2, 5)
+    assert got[("s", 3)] == (1, 4)
+    assert got[("t", 3)] == (1, 7)
+    assert got[("t", 4)] == (2, 23)
+    assert got[("t", 5)] == (1, 16)
+    assert len(got) == 6

@@ -142,3 +142,98 @@ def test_bm25_no_global_sort(docs_df):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# tfidf_allpairs — exact all-pairs cosine with lossless prefix filtering
+# ---------------------------------------------------------------------------
+
+AP_DOCS = [
+    (0, "alpha beta gamma delta"),
+    (1, "alpha beta gamma delta"),          # exact dup of 0
+    (2, "alpha beta gamma delta epsilon"),  # near dup of 0/1
+    (3, "zeta eta theta iota"),
+    (4, "zeta eta theta kappa"),            # near dup of 3
+    (5, "completely different words here"),
+    (6, "alpha zeta different kappa"),      # mixes clusters, low sim
+    (7, ""),
+]
+
+
+def _py_allpairs(threshold):
+    corpus = {d: _tok(t) for d, t in AP_DOCS if _tok(t)}
+    n = len(corpus)
+    vocab = sorted({w for v in corpus.values() for w in v})
+    dfreq = {w: sum(1 for v in corpus.values() if w in v) for w in vocab}
+    vecs = {}
+    for d, toks in corpus.items():
+        wt = {
+            w: toks.count(w) * (math.log((1 + n) / (1 + dfreq[w])) + 1)
+            for w in set(toks)
+        }
+        nrm = math.sqrt(sum(x * x for x in wt.values()))
+        vecs[d] = {w: x / nrm for w, x in wt.items()}
+    out = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sim = sum(
+                vecs[a][w] * vecs[b].get(w, 0.0) for w in vecs[a]
+            )
+            if sim >= threshold:
+                out[(a, b)] = sim
+    return out
+
+
+@pytest.fixture(scope="module")
+def ap_df(spark):
+    return spark.createDataFrame(AP_DOCS, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.6, 0.9])
+def test_allpairs_matches_bruteforce_replay(ap_df, threshold):
+    from proxyfeatureextraction_spark.functions.retrieval import tfidf_allpairs
+
+    exp = _py_allpairs(threshold)
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in tfidf_allpairs(ap_df, threshold=threshold).collect()
+    }
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_allpairs_exact_dups_score_one(ap_df):
+    from proxyfeatureextraction_spark.functions.retrieval import tfidf_allpairs
+
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in tfidf_allpairs(ap_df, threshold=0.95).collect()
+    }
+    assert got[(0, 1)] == pytest.approx(1.0, abs=1e-9)
+    # a < b canonical ordering, no self/backward pairs
+    assert all(a < b for a, b in got)
+
+
+def test_allpairs_rejects_bad_threshold(ap_df):
+    from proxyfeatureextraction_spark.functions.retrieval import tfidf_allpairs
+
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            tfidf_allpairs(ap_df, threshold=bad)
+
+
+def test_allpairs_plan_shape(ap_df):
+    from proxyfeatureextraction_spark.functions.retrieval import tfidf_allpairs
+
+    qe = tfidf_allpairs(ap_df, threshold=0.6)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only window is the per-doc prefix cumsum — partitioned on
+    # doc_id, never a corpus-wide funnel
+    opt = qe.optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "doc_id" in line
+    assert "CartesianProduct" not in plan
