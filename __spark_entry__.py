@@ -682,6 +682,53 @@ def _word_hash_sql(word_expr: str) -> str:
     )
 
 
+def _bloom_decon_oracle(n: int = 8, m_bits: int = 1 << 18, k: int = 3) -> str:
+    """DuckDB twin of functions/bloom.py:bloom_decontaminate — replays
+    the polynomial gram hash, the affine position family (domain offset
+    4096), the 32-bit packed ``bit_or`` build, and the all-bits-set
+    probe, bit-for-bit."""
+    from proxyfeatureextraction_spark.functions.bloom import _BLOOM_OP
+    from proxyfeatureextraction_spark.operators.dedup import HASH_MOD, perm_params
+
+    toks = (
+        "list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> length(x) > 0)"
+    )
+    pos_arms = " UNION ALL ".join(
+        f"SELECT g, (h * {a} + {b}) % {HASH_MOD} % {m_bits} AS pos FROM {{src}}"
+        for a, b in (perm_params(_BLOOM_OP + i) for i in range(k))
+    )
+    mask = "(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))"
+    return f"""
+        WITH tr AS (SELECT doc_id, {toks} AS toks
+                    FROM documents WHERE doc_id % 20 <> 0),
+        ev AS (SELECT {toks} AS toks
+               FROM documents WHERE doc_id % 20 = 0),
+        evh AS (SELECT DISTINCT w AS g, {_word_hash_sql('w')} AS h
+                FROM ev, UNNEST(list_distinct({_shingle_list_sql('toks', n)})) AS t(w)),
+        evpos AS ({pos_arms.format(src='evh')}),
+        bloom AS (SELECT pos // 32 AS word, bit_or({mask}) AS bits
+                  FROM evpos GROUP BY 1),
+        trg AS (SELECT doc_id, w AS g FROM tr,
+                UNNEST(list_distinct({_shingle_list_sql('toks', n)})) AS t(w)),
+        trh AS (SELECT DISTINCT g, {_word_hash_sql('g')} AS h FROM trg),
+        trpos AS ({pos_arms.format(src='trh')}),
+        hit AS (SELECT g,
+                       bool_and(b.bits IS NOT NULL
+                                AND (b.bits & {mask}) = {mask}) AS maybe
+                FROM trpos LEFT JOIN bloom b ON b.word = pos // 32
+                GROUP BY g),
+        per AS (SELECT doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_maybe
+                FROM trg JOIN hit USING (g) GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(per.n_maybe, 0) AS BIGINT) AS n_maybe,
+               coalesce(per.n_maybe, 0) > 0 AS contaminated
+        FROM tr t LEFT JOIN per USING (doc_id)
+        """
+
+
 def _shingle_list_sql(toks_expr: str, n: int) -> str:
     """DuckDB twin of operators.dedup._shingle_col over a token list."""
     return f"""CASE WHEN len({toks_expr}) >= {n}
@@ -1357,6 +1404,26 @@ def q_token_histogram(spark, sf_dir):
     return token_histogram(_table(spark, sf_dir, "documents"))
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (functions/bloom.py): the eval
+    split's word 8-grams fold into a 2^18-bit filter (8 KiB of packed
+    words — constant size no matter how big the eval side), train docs
+    probe it via broadcast join. Flags are a deterministic SUPERSET of
+    the exact decontaminate gate (Bloom false positives, never
+    negatives); the oracle replays the exact same polynomial-hash bit
+    arithmetic in DuckDB."""
+    from proxyfeatureextraction_spark.functions.bloom import bloom_decontaminate
+
+    d = _table(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        n=8,
+        m_bits=1 << 18,
+        k=3,
+    )
+
+
 def q_token_count_bpe(spark, sf_dir):
     """REAL byte-level BPE token counts (functions/bpe.py) under the fixed
     published-style merges table — the counts ``pack_sequences(tok_col=...)``
@@ -2010,7 +2077,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "semantic_dedup": q_semantic_dedup,
-        "dsir_weights": q_dsir_weights,
         # -- new round-5 operators: first driver rows ---------------------
         "bm25_search": q_bm25_search,
         "tfidf_keywords": q_tfidf_keywords,
@@ -2021,6 +2087,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "token_count_bpe": q_token_count_bpe,
         "nb_quality": q_nb_quality,
+        # bloom_decontaminate takes the slot dsir_weights vacated: dsir's
+        # round-5 change is bench-wrapper-only (values unchanged,
+        # driver-green r4), while the Bloom gate is brand-new hash-family
+        # code that has never seen a driver row
+        "bloom_decontaminate": q_bloom_decontaminate,
         # -- new round-5b operators: past the 50-entry window (it is
         # -- already full with the rotation + round-5-changed gates);
         # -- verified green under tools/check_entry.py this round,
@@ -2029,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "contamination_report": q_contamination_report,
         "token_histogram": q_token_histogram,
+        "dsir_weights": q_dsir_weights,
         "tumbling_keyed": q_tumbling_keyed,
         "prefix_cumsum": q_prefix_cumsum,
         "interarrival": q_interarrival,
@@ -3038,6 +3110,7 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) e
         LEFT JOIN per ON e.doc_id = per.eval_id
         """,
+        "bloom_decontaminate": _bloom_decon_oracle(),
         # bucket = bit length via length(bin(n)) — integer-exact;
         # floor(log2(double)) is one ulp from an off-by-one at 2^k
         "token_histogram": """

@@ -67,29 +67,35 @@ def bm25_search(
 
     Every idf/length input is an engine-computed integer count; the
     per-doc sum runs over at most ``len(query terms)`` addends.  The
-    plan is explode → broadcast-semi-join on the query terms →
-    map-side-partial per-doc agg → ``TakeOrderedAndProject`` (no
-    global sort).
+    plan is explode → query-term literal filter BEFORE the tf
+    aggregate (the ``(doc_id, term)`` exchange carries only query-term
+    rows, never the corpus vocabulary) → map-side-partial per-doc agg
+    → ``TakeOrderedAndProject`` (no global sort).  The full token
+    stream feeds exactly one aggregate — the per-doc length count —
+    which partially aggregates map-side.
     """
     terms = sorted({w for w in query.split(" ") if w})
     if not terms:
         raise ValueError("query must contain at least one token")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    spark = df.sparkSession
-    qt = spark.createDataFrame([(w,) for w in terms], ["w"])
 
-    dt = _doc_terms(df, id_col, text_col)
-    n_stats = dt.groupBy().agg(
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("w")
+    )
+    # only query-term rows reach the (doc_id, w) exchange
+    tf_q = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dt = tf_q.join(dl, "doc_id")
+    n_stats = dl.groupBy().agg(
         F.countDistinct("doc_id").alias("n"),
-        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+        (F.sum("dl") / F.countDistinct("doc_id")).alias("avgdl"),
     )
-    # df(t) over the full corpus, but only for the query's terms
-    dfreq = (
-        dt.join(F.broadcast(qt), "w")
-        .groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
+    dfreq = dt.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         dt.join(F.broadcast(dfreq), "w")
         .crossJoin(F.broadcast(n_stats))

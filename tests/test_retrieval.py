@@ -237,3 +237,25 @@ def test_allpairs_plan_shape(ap_df):
         if "windowspecdefinition" in line.lower():
             assert "doc_id" in line
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_query_filter_below_tf_aggregate(docs_df):
+    # the (doc_id, term) tf aggregate must consume rows already
+    # filtered to the query terms — the full-vocabulary exchange is
+    # the difference between O(query) and O(corpus vocab) at scale
+    opt = (
+        bm25_search(docs_df, "quick dog", top_k=5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    aggs = [
+        ln for ln in opt.splitlines() if "Aggregate [doc_id" in ln and ", w#" in ln
+    ]
+    assert aggs, opt
+    assert " IN (" in opt, opt
+    # children print BELOW their parents, so each tf aggregate (the
+    # subtree appears twice: scoring + the pruned dfreq branch) must
+    # have the query-term filter somewhere after it in the dump
+    for a in aggs:
+        assert opt.find(" IN (", opt.index(a)) != -1, a
