@@ -1411,10 +1411,14 @@ def q_bloom_decontaminate(spark, sf_dir):
     probe it via broadcast join. Flags are a deterministic SUPERSET of
     the exact decontaminate gate (Bloom false positives, never
     negatives); the oracle replays the exact same polynomial-hash bit
-    arithmetic in DuckDB."""
+    arithmetic in DuckDB. Single-split fixture repartitioned before the
+    explode-heavy gram-hash map side (same fix as q_gopher_repetition /
+    q_dsir_weights; measured 10.7 -> 2.2 s warm at sf0.1)."""
     from proxyfeatureextraction_spark.functions.bloom import bloom_decontaminate
 
-    d = _table(spark, sf_dir, "documents")
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return bloom_decontaminate(
         d.filter(F.col("doc_id") % 20 != 0),
         d.filter(F.col("doc_id") % 20 == 0),
@@ -1924,6 +1928,37 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup survivor selection (operators/dedup.py:
+    dedup_keep_best, RefinedWeb-style): dedup_corpus clustering, but
+    each cluster keeps its highest-quality member (quality =
+    functions/text.py:quality_score, ties to the lower id) via one
+    map-side-partial max(struct(quality, -doc_id)) aggregate — no
+    ranking window over the cluster id, so a boilerplate mega-cluster
+    never funnels through one task."""
+    from proxyfeatureextraction_spark.functions.text import quality_score
+    from proxyfeatureextraction_spark.operators.dedup import dedup_keep_best
+
+    d = _table(spark, sf_dir, "documents").withColumn(
+        "quality", quality_score("text")
+    )
+    return dedup_keep_best(d, "quality")
+
+
+def q_collocations_pmi(spark, sf_dir):
+    """PMI-ranked bigram collocations (functions/text.py:
+    collocations_pmi, Church & Hanks 1990): word pairs that co-occur
+    beyond their marginal frequencies — the statistical complement to
+    raw top_ngrams frequency. Every ln argument is an engine-computed
+    integer count in a fixed term order, so the score is bit-portable
+    to the DuckDB twin."""
+    from proxyfeatureextraction_spark.functions.text import collocations_pmi
+
+    return collocations_pmi(
+        _table(spark, sf_dir, "documents"), k=50, min_count=5
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding store
     (4× storage cut for the trillion-vector similarity path), exploded
@@ -2097,6 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- verified green under tools/check_entry.py this round,
         # -- first driver rows with the round-6 rotation ------------------
         "tfidf_allpairs": q_tfidf_allpairs,
+        "collocations_pmi": q_collocations_pmi,
+        "dedup_keep_best": q_dedup_keep_best,
         "corpus_diff": q_corpus_diff,
         "contamination_report": q_contamination_report,
         "token_histogram": q_token_histogram,
@@ -2518,6 +2555,68 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d AS doc_id, min(r) AS cluster_rep, min(r) = d AS is_survivor
         FROM reach GROUP BY d
+        """,
+        # same clustering as dedup_corpus; survivor = argmax quality,
+        # ties to the lower id. Every ratio is computed in DOUBLE (int /
+        # CAST(len AS DOUBLE)) and each CASE arm is cast to DOUBLE before
+        # the three-term sum so the decimal-literal arithmetic DuckDB
+        # would otherwise run in decimal matches Spark's doubles.
+        "dedup_keep_best": f"""
+        WITH RECURSIVE nd AS (
+          SELECT doc_id, {_normalize_sql('text')} AS text FROM documents
+        ),
+        {_jaccard_ctes('nd')},
+        ex AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nd a JOIN nd b ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        alle AS (
+          SELECT doc_a, doc_b FROM jpairs
+          UNION
+          SELECT doc_a, doc_b FROM ex
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM alle
+          UNION
+          SELECT doc_b, doc_a FROM alle
+        ),
+        reach(d, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.d, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        assign AS (SELECT d AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY d),
+        qt AS (
+          SELECT doc_id, length(text) AS nchar,
+                 list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+          FROM documents
+        ),
+        qr AS (
+          SELECT doc_id, nchar,
+                 len(list_filter(toks, w -> w IN {_STOP_SQL}))
+                   / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS sw,
+                 len(list_filter(toks, w -> length(w) >= 8))
+                   / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS lt
+          FROM qt
+        ),
+        q AS (
+          SELECT doc_id,
+                 round((CAST(CASE WHEN nchar >= 50 AND nchar <= 4000
+                             THEN 1.0 ELSE 0.3 END AS DOUBLE)
+                        + CAST(CASE WHEN sw > 0.02 AND sw < 0.5
+                               THEN 1.0 ELSE 0.5 END AS DOUBLE)
+                        + CAST(CASE WHEN lt < 0.5
+                               THEN 1.0 ELSE 0.4 END AS DOUBLE)) / 3.0,
+                       6) AS quality
+          FROM qr
+        ),
+        rk AS (
+          SELECT a.doc_id, a.cluster_rep, q.quality,
+                 row_number() OVER (PARTITION BY a.cluster_rep
+                                    ORDER BY q.quality DESC, a.doc_id ASC) AS rn
+          FROM assign a JOIN q USING (doc_id)
+        )
+        SELECT doc_id, cluster_rep, quality, rn = 1 AS is_survivor FROM rk
         """,
         # rep-level mirror of dedup_incremental: near pairs computed over
         # distinct-text reps and kept when either GROUP holds a new doc;
@@ -3802,6 +3901,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
+        # ln-term order mirrors collocations_pmi exactly (every ln arg
+        # is an engine-computed integer count — bit-portable)
+        "collocations_pmi": """
+        WITH tk AS (
+          SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ),
+        uni AS (SELECT w, count(*) AS cx
+                FROM tk, UNNEST(toks) AS u(w) GROUP BY w),
+        bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+               FROM tk, UNNEST(range(1, len(toks))) AS r(i)),
+        bgc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+        tot AS (SELECT sum(cx) AS tt FROM uni),
+        btot AS (SELECT sum(c_xy) AS bb FROM bgc)
+        SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+               round(ln(c_xy) + ln(tt) + ln(tt)
+                     - ln(bb) - ln(u1.cx) - ln(u2.cx), 6) AS pmi
+        FROM bgc
+        JOIN uni u1 ON u1.w = bgc.w1
+        JOIN uni u2 ON u2.w = bgc.w2
+        CROSS JOIN tot CROSS JOIN btot
+        WHERE c_xy >= 5
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 50
+        """,
         "top_ngrams": f"""
         WITH tk AS (
           SELECT doc_id,

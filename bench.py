@@ -103,7 +103,7 @@ def main() -> None:
         "nb_quality", "bm25_search", "tfidf_keywords", "inverted_index",
         "ppl_buckets", "domain_temperature", "tfidf_allpairs",
         "corpus_diff", "contamination_report", "token_histogram",
-        "bloom_decontaminate",
+        "bloom_decontaminate", "collocations_pmi", "dedup_keep_best",
     ]
     extras: dict[str, float] = {}
     for name in extra:

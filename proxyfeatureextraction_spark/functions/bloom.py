@@ -59,15 +59,22 @@ def bloom_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(key_col, m_bits: int, k: int) -> "F.Column":
-    """Array of the key's k bit positions in [0, m_bits)."""
-    h = portable_word_hash(key_col)
+def _positions_from_hash(h, m_bits: int, k: int) -> "F.Column":
+    """Array of k bit positions in [0, m_bits) for a precomputed
+    polynomial hash ``h`` — every downstream bit depends on the key
+    only through ``h``, which is what lets build/probe dedupe and join
+    on the int instead of the key text."""
     return F.array(
         *[
             (h * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD) % F.lit(m_bits)
             for a, b in (perm_params(_BLOOM_OP + i) for i in range(k))
         ]
     )
+
+
+def _positions(key_col, m_bits: int, k: int) -> "F.Column":
+    """Array of the key's k bit positions in [0, m_bits)."""
+    return _positions_from_hash(portable_word_hash(key_col), m_bits, k)
 
 
 def bloom_build(
@@ -80,12 +87,21 @@ def bloom_build(
     partially combines map-side — the exchange carries at most
     ``m_bits / 32`` rows per task regardless of input size.
     """
+    hs = df.select(portable_word_hash(F.col(key_col)).alias("_bh"))
+    return _bloom_build_hashes(hs, m_bits, k)
+
+
+def _bloom_build_hashes(hs: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """Build from a ``(_bh)`` hash column — the key text is already
+    gone by the time anything explodes or shuffles."""
     if m_bits < WORD_BITS or m_bits % WORD_BITS:
         raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     return (
-        df.select(F.explode(_positions(F.col(key_col), m_bits, k)).alias("pos"))
+        hs.select(
+            F.explode(_positions_from_hash(F.col("_bh"), m_bits, k)).alias("pos")
+        )
         .select(
             (F.col("pos") / WORD_BITS).cast("long").alias("word"),
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))").alias(
@@ -108,28 +124,35 @@ def bloom_probe(
     key's bits are set — key was possibly inserted (false positives at
     the Bloom rate, never false negatives).
 
-    The filter broadcasts; each key explodes to its k positions, joins
-    the packed words, and is "maybe" iff every position found its bit.
-    Zero full-data shuffles beyond the per-key regroup.
+    ``maybe`` is a function of the key's polynomial hash ALONE, so the
+    verdict is computed once per DISTINCT hash (the filter broadcasts;
+    each hash explodes to its k positions and is "maybe" iff every
+    position found its bit) and joined back on the int — duplicate
+    keys cost one distinct-exchange row, and the key text never keys
+    an exchange (the join-back shuffles on an 8-byte hash).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    keyed = df.withColumn("_bp", _positions(F.col(key_col), m_bits, k))
-    # no pre-distinct: duplicate key rows contribute identical position
-    # sets, so the all-positions-hit equality below is unaffected and
-    # the probe costs ONE map-side-partial exchange, not two
-    probe = (
-        keyed.select(key_col, F.explode("_bp").alias("pos"))
+    keyed = df.withColumn("_bh", portable_word_hash(F.col(key_col)))
+    verdicts = _probe_hashes(keyed.select("_bh").distinct(), bloom, m_bits, k)
+    return keyed.join(verdicts, "_bh", "left").drop("_bh")
+
+
+def _probe_hashes(
+    hs: DataFrame, bloom: DataFrame, m_bits: int, k: int
+) -> DataFrame:
+    """(_bh, maybe) for each distinct hash in ``hs``."""
+    return (
+        hs.select("_bh", F.explode(_positions_from_hash(F.col("_bh"), m_bits, k)).alias("pos"))
         .select(
-            key_col,
-            "pos",
+            "_bh",
             (F.col("pos") / WORD_BITS).cast("long").alias("word"),
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))").alias(
                 "_mask"
             ),
         )
         .join(F.broadcast(bloom), "word", "left")
-        .groupBy(key_col)
+        .groupBy("_bh")
         .agg(
             (
                 F.count(F.lit(1))
@@ -143,7 +166,6 @@ def bloom_probe(
             ).alias("maybe")
         )
     )
-    return keyed.drop("_bp").join(probe, key_col, "left")
 
 
 def bloom_decontaminate(
@@ -166,17 +188,26 @@ def bloom_decontaminate(
     would not broadcast).  ``contaminated`` is a SUPERSET of the exact
     operator's flag (Bloom false positives, never negatives): use it as
     the cheap first pass and verify flagged survivors exactly.
+
+    Digest-keyed end-to-end: grams hash in the same stage as the
+    explode, so every exchange (the eval distinct, the per-hash probe,
+    the verdict join-back, the per-doc agg) carries 8-byte ints plus
+    the doc id — gram text never shuffles.
     """
-    ev = eval_df.select(
-        F.explode(F.array_distinct(_shingle_col(text_col, n))).alias("g")
-    ).distinct()
-    bloom = bloom_build(ev, m_bits, k, key_col="g")
-    tr = train.select(
+    ev_h = (
+        eval_df.select(
+            F.explode(F.array_distinct(_shingle_col(text_col, n))).alias("g")
+        )
+        .select(portable_word_hash(F.col("g")).alias("_bh"))
+        .distinct()
+    )
+    bloom = _bloom_build_hashes(ev_h, m_bits, k)
+    tr_h = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(_shingle_col(text_col, n))).alias("g"),
-    )
-    probed = bloom_probe(tr, bloom, m_bits, k, key_col="g")
-    per_doc = probed.groupBy("doc_id").agg(
+    ).select("doc_id", portable_word_hash(F.col("g")).alias("_bh"))
+    verdicts = _probe_hashes(tr_h.select("_bh").distinct(), bloom, m_bits, k)
+    per_doc = tr_h.join(verdicts, "_bh").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_maybe"),
     )

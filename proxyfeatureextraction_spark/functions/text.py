@@ -314,6 +314,85 @@ def top_ngrams(
     )
 
 
+def collocations_pmi(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information
+    (Church & Hanks 1990, "Word Association Norms, Mutual Information,
+    and Lexicography"): word pairs that co-occur far more than their
+    marginal frequencies predict — multi-word expressions, named
+    entities, domain jargon.  The corpus-statistics complement to raw
+    ``top_ngrams`` frequency (which surfaces stopword pairs first).
+
+    Returns ``(w1, w2, c_xy, pmi)`` ordered by (pmi desc, w1, w2);
+    ``pmi = ln(p(xy) / (p(x)·p(y)))`` with unigram probabilities over
+    the token total and the bigram probability over the bigram total.
+    ``min_count`` suppresses the unstable low-count tail (PMI's known
+    bias toward hapax pairs).
+
+    Scale shape: one explode each for unigrams and bigrams, both into
+    map-side-partial count aggregates; the two scalar totals broadcast;
+    the marginal-count joins are plain equi-joins on the word (vocab-
+    sized, not corpus-sized); ``orderBy().limit(k)`` executes as
+    ``TakeOrderedAndProject``.  Every ``ln`` argument is an
+    engine-computed integer count, so the score is portable bit-for-bit
+    to the SQL oracle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bg = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, m),
+                F.slice(toks, 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cx"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    tot = uni.groupBy().agg(F.sum("cx").alias("tt"))
+    btot = bgc.groupBy().agg(F.sum("c_xy").alias("bb"))
+    scored = (
+        bgc.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cx").alias("cx1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cx").alias("cx2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            # fixed left-to-right ln-term order — the oracle mirrors it
+            # so the double arithmetic is reproduced exactly
+            (
+                F.log("c_xy")
+                + F.log("tt")
+                + F.log("tt")
+                - F.log("bb")
+                - F.log("cx1")
+                - F.log("cx2")
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.withColumn("pmi", F.round("pmi", 6))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = (
         df.withColumn("n_tokens", token_count(text_col))

@@ -1106,11 +1106,16 @@ def dsir_weights(
     rank-and-take directly, to reproduce DSIR's importance resampling.
 
     Scale shape: both bucket-count tables are bounded by ``n_buckets``
-    rows regardless of corpus size and are BROADCAST to the raw-side
-    occurrence stream — the only full-data operations are one explode
-    and one per-doc aggregation, and the exchange carries
-    ``(doc_id, bucket int)``, never gram text.  Totals ride along as a
-    broadcast one-row frame (no driver round-trip in the plan).
+    rows regardless of corpus size, so (same policy as ``mix_corpus``'s
+    keep map) they are COLLECTED once and re-broadcast as literal
+    frames — otherwise every reference to a count table re-executes
+    its whole explode-and-hash subtree, and the expensive gram stream
+    runs 3x over raw and 2x over target instead of exactly once each
+    plus the final scoring pass.  The only full-data operations are
+    one explode and one per-doc aggregation per pass, and the exchange
+    carries ``(doc_id, bucket int)``, never gram text.  The totals are
+    exact integer sums of the collected counts, so every logarithm's
+    argument is still integer-valued and hash-portable.
     Returns ``(doc_id, n_grams, log_importance)`` for every raw doc;
     docs with no grams (empty text) score 0.
     """
@@ -1118,19 +1123,23 @@ def dsir_weights(
         raise ValueError("n_buckets and alpha must be positive")
     if not ns:
         raise ValueError("ns must name at least one n-gram size")
+    spark = raw.sparkSession
     occ_r = _hashed_gram_buckets(raw, text_col, id_col, ns, n_buckets, portable)
     occ_t = _hashed_gram_buckets(target, text_col, id_col, ns, n_buckets, portable)
-    cnt_r = occ_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    cnt_t = occ_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    totals = (
-        cnt_r.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
-        .crossJoin(cnt_t.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")))
+    rows_r = occ_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")).collect()
+    rows_t = occ_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")).collect()
+    tr = sum(r["cr"] for r in rows_r)
+    tt = sum(r["ct"] for r in rows_t)
+    cnt_r = spark.createDataFrame(
+        [(r["bucket"], r["cr"]) for r in rows_r], "bucket long, cr long"
+    )
+    cnt_t = spark.createDataFrame(
+        [(r["bucket"], r["ct"]) for r in rows_t], "bucket long, ct long"
     )
     ab = float(alpha) * n_buckets
     scored = (
         occ_r.join(F.broadcast(cnt_t), "bucket", "left")
         .join(F.broadcast(cnt_r), "bucket", "left")
-        .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -1140,7 +1149,7 @@ def dsir_weights(
                     - F.log(F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
                 )
                 + F.count(F.lit(1))
-                * (F.log(F.first("tr") + F.lit(ab)) - F.log(F.first("tt") + F.lit(ab))),
+                * (F.log(F.lit(tr) + F.lit(ab)) - F.log(F.lit(tt) + F.lit(ab))),
                 6,
             ).alias("log_importance"),
         )

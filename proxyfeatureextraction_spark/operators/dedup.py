@@ -1276,6 +1276,67 @@ def dedup_corpus(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    quality_col: str | Column = "quality",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    normalize: bool = True,
+    method: str = "auto",
+    shingle: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Quality-aware survivor selection: ``dedup_corpus`` clustering,
+    but each cluster keeps its HIGHEST-quality member (ties to the
+    lower id) instead of the lowest id — the RefinedWeb/FineWeb-style
+    rule (Penedo et al. 2023): when boilerplate near-copies collapse,
+    retain the best-written instance, not an arbitrary one.
+
+    ``quality_col`` is any numeric column name or Column expression
+    over ``df`` (a model score, ``functions.text.quality_score``, a
+    Gopher composite, ...).  Returns ``(doc_id, cluster_rep, quality,
+    is_survivor)`` — a total assignment, exactly one survivor per
+    cluster.
+
+    Scale shape: clustering is ``dedup_corpus``'s digest-keyed star
+    contraction unchanged; the argmax is ONE map-side-partial
+    ``max(struct(quality, -doc_id))`` aggregate per cluster (no window
+    over ``cluster_rep`` — a mega-cluster of boilerplate would funnel
+    through a single task under a ranking window, the same hot-key
+    hazard the line-dedup first-occurrence pick had) broadcast-joined
+    back on the cluster id.
+    """
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    assign = dedup_corpus(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        normalize=normalize,
+        method=method,
+        shingle=shingle,
+        max_iter=max_iter,
+    ).select("doc_id", "cluster_rep")
+    scored = assign.join(
+        df.select(F.col(id_col).alias("doc_id"), q.alias("_q")), "doc_id"
+    )
+    best = (
+        scored.groupBy("cluster_rep")
+        .agg(F.max(F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nid"))).alias("_b"))
+        .select("cluster_rep", (-F.col("_b._nid")).alias("_best"))
+    )
+    return (
+        scored.join(best, "cluster_rep")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            F.col("_q").alias("quality"),
+            (F.col("doc_id") == F.col("_best")).alias("is_survivor"),
+        )
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     corpus_df: DataFrame,

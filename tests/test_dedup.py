@@ -929,3 +929,60 @@ def test_flag_corpus_dups_validates_store_params(spark):
     store = band_signature_store(corpus, n_perm=16, bands=8)
     with pytest.raises(ValueError, match="bands"):
         flag_corpus_dups(corpus, store, n_perm=16, bands=4).collect()
+
+
+def test_dedup_keep_best_argmax_quality(spark):
+    from proxyfeatureextraction_spark.operators.dedup import (
+        dedup_corpus,
+        dedup_keep_best,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", 0.2),
+            (2, "the quick brown fox jumps over the lazy dog today", 0.9),
+            (3, "the quick brown fox jumps over the lazy dog today", 0.9),
+            (4, "completely different text about gardens and rivers", 0.1),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    got = {
+        r.doc_id: (r.cluster_rep, r.quality, r.is_survivor)
+        for r in dedup_keep_best(df, "quality", threshold=0.8).collect()
+    }
+    # cluster {1,2,3}: max quality 0.9 tied between 2 and 3 -> lower id 2
+    assert got[1] == (1, 0.2, False)
+    assert got[2] == (1, 0.9, True)
+    assert got[3] == (1, 0.9, False)
+    assert got[4][2] is True  # singleton survives regardless of score
+    # clustering identical to dedup_corpus; exactly one survivor/cluster
+    base = {
+        r.doc_id: r.cluster_rep
+        for r in dedup_corpus(df, threshold=0.8).collect()
+    }
+    assert {d: c for d, (c, _, _) in got.items()} == base
+    survivors_per_cluster: dict = {}
+    for d, (c, _, s) in got.items():
+        survivors_per_cluster[c] = survivors_per_cluster.get(c, 0) + int(s)
+    assert set(survivors_per_cluster.values()) == {1}
+
+
+def test_dedup_keep_best_no_cluster_window(spark):
+    from proxyfeatureextraction_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 0.5), (2, "x y z", 0.6)],
+        "doc_id long, text string, quality double",
+    )
+    plan = (
+        dedup_keep_best(df, "quality")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the argmax must be an aggregate (map-side partial), never a
+    # ranking window over cluster_rep — a boilerplate mega-cluster
+    # would funnel through one task under a window
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "cluster_rep" not in line

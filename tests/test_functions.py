@@ -441,3 +441,49 @@ def test_gopher_quality_counts_words_across_lines(spark):
     assert got[0]["n_words"] == 5 == got[1]["n_words"]
     assert got[0]["stop_hits"] == got[1]["stop_hits"] == 1  # 'the'
     assert got[0]["mean_word_len"] == got[1]["mean_word_len"]
+
+
+def test_collocations_pmi_replay(spark):
+    from collections import Counter
+    from math import log
+
+    from proxyfeatureextraction_spark.functions.text import collocations_pmi
+
+    texts = [
+        "new york is a big city",
+        "new york has a big port",
+        "in new york the port is big",
+        "a city has a port",
+        "",  # no tokens -> no bigrams
+        "single",  # one token -> no bigrams
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = collocations_pmi(df, k=10, min_count=2).toPandas()
+
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    for t in texts:
+        ws = [w for w in t.split(" ") if w]
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    tt, bb = sum(uni.values()), sum(bg.values())
+    exp = sorted(
+        (
+            round(
+                log(c) + log(tt) + log(tt) - log(bb) - log(uni[a]) - log(uni[b]),
+                6,
+            ),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in bg.items()
+        if c >= 2
+    )
+    exp = [(a, b, c, p) for p, a, b, c in sorted(exp, key=lambda r: (-r[0], r[1], r[2]))][:10]
+    assert list(map(tuple, got[["w1", "w2", "c_xy", "pmi"]].itertuples(index=False))) == exp
+    # the collocation "new york" (always adjacent) must outrank the
+    # frequency-driven stopword pair ("a", "big" etc.)
+    assert (got.loc[0, "w1"], got.loc[0, "w2"]) == ("new", "york")
