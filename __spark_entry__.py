@@ -1347,10 +1347,15 @@ def q_tfidf_allpairs(spark, sf_dir):
     weighted-cosine complement to the minhash set-similarity gates.
     Prefix filtering is lossless, so the oracle is the brute-force
     term self-join; the nearest pair to the 0.8 boundary sits 2.3e-6
-    away (measured) — far above cross-engine float noise."""
+    away (measured) — far above cross-engine float noise.  The fixture
+    is a single parquet split, so the wrapper repartitions before the
+    explode-heavy index build — the shape a multi-split production
+    input has for free."""
     from proxyfeatureextraction_spark.functions.retrieval import tfidf_allpairs
 
-    d = _table(spark, sf_dir, "documents")
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = tfidf_allpairs(d, threshold=0.8)
     return out.select("a", "b", _R6(F.col("sim"), "sim"))
 

@@ -28,6 +28,7 @@ never corpus-wide.  Zero Python UDFs.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -179,6 +180,7 @@ def tfidf_allpairs(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs cosine similarity join over tf-idf vectors
     (Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs Similarity
@@ -202,8 +204,19 @@ def tfidf_allpairs(
     does.  Candidates are then verified with the exact dot product, so
     the result is identical to the brute-force join.
 
-    Scale shape: one explode + two map-side-partial aggs build the
-    vectors; the per-doc ordering window partitions on ``doc_id``
+    Scale shape: the term-frequency table and the unit-vector table
+    are the algorithm's two reused relations — the tf table feeds the
+    document-frequency aggregate and the weighting, the vector table
+    feeds the prefix index, the candidate join and BOTH sides of the
+    verification — so with ``materialize=True`` (default) each is
+    persisted MEMORY_AND_DISK the way Bayardo's algorithm materializes
+    its index: built once, scanned by every later stage, spilled to
+    disk when it outgrows memory.  Without it Spark would re-execute
+    the explode→aggregate lineage once per consumer.  (The cache lives
+    until the session drops it — callers running many corpora through
+    one session can ``spark.catalog.clearCache()`` between runs, or
+    pass ``materialize=False`` to keep the plan fully lazy.)  The
+    per-doc norm and prefix-ordering windows partition on ``doc_id``
     (bounded by document vocabulary, never corpus-wide); the candidate
     join keys on the indexed (rare) terms; verification joins the
     candidate pair list back to the vectors on ``doc_id``.  Zero
@@ -211,9 +224,17 @@ def tfidf_allpairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    dt = _doc_terms(df, id_col, text_col)
-    dfreq = dt.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("w")
+    )
+    dt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize:
+        dt = dt.persist(StorageLevel.MEMORY_AND_DISK)
+    # dt is unique per (doc_id, w), so a plain count IS the document
+    # frequency — no countDistinct expansion needed
+    dfreq = dt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = dt.groupBy().agg(F.countDistinct("doc_id").alias("n"))
+    byd = Window.partitionBy("doc_id")
     wt = (
         dt.join(dfreq, "w")
         .crossJoin(F.broadcast(n_docs))
@@ -232,12 +253,11 @@ def tfidf_allpairs(
             ).alias("wgt"),
         )
     )
-    nrm = wt.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm")
-    )
-    vec = wt.join(nrm, "doc_id").select(
-        "doc_id", "w", "df", (F.col("wgt") / F.col("nrm")).alias("u")
-    )
+    vec = wt.withColumn(
+        "nrm", F.sqrt(F.sum(F.col("wgt") * F.col("wgt")).over(byd))
+    ).select("doc_id", "w", "df", (F.col("wgt") / F.col("nrm")).alias("u"))
+    if materialize:
+        vec = vec.persist(StorageLevel.MEMORY_AND_DISK)
     # rarest-first order within each doc; index while the tail norm of
     # the not-yet-seen suffix can still reach the threshold on its own
     order = Window.partitionBy("doc_id").orderBy("df", "w")
