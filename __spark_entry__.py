@@ -820,6 +820,18 @@ def _winnow_cte(k: int = 4, window: int = 4) -> str:
         """
 
 
+def _split_case_sql(hh_expr: str, weights: dict[str, float]) -> str:
+    """CASE expression mapping an already-computed id-hash SQL
+    expression to split labels via the SAME split_bounds() float→int
+    threshold arithmetic the Spark side uses."""
+    from proxyfeatureextraction_spark.operators.curation import split_bounds
+
+    bounds = split_bounds(weights)
+    labels = list(weights)
+    whens = " ".join(f"WHEN ({hh_expr}) < {b} THEN '{name}'" for name, b in bounds)
+    return f"CASE {whens} ELSE '{labels[-1]}' END"
+
+
 def _hash_split_oracle() -> str:
     """DuckDB twin of curation.hash_split({train:.9, val:.05, test:.05},
     seed=7): thresholds come from the SAME split_bounds() float→int
@@ -1098,6 +1110,50 @@ def q_similarity_ann_ivf(spark, sf_dir):
 
     return cosine_topk_ivf(
         _table(spark, sf_dir, "embeddings"), k=5, n_cells=16, n_probe=2
+    )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """DuckDB twin of similarity.kcenter_select: the k greedy rounds
+    UNROLLED as a chain of argmax-pick + dmin-update CTEs — k is a gate
+    literal, so no recursion is needed (a recursive CTE could not
+    aggregate over its own working table anyway). Same 2.0 dmin init
+    so round 0 falls out of the same argmax rule."""
+    dot = "list_sum(list_transform(list_zip(c.u, p.u), z -> z[1] * z[2]))"
+    parts = [
+        "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e0)",
+        "c0 AS (SELECT vec_id, list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS u, CAST(2.0 AS DOUBLE) AS dmin FROM en)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"p{i} AS (SELECT vec_id, u, dmin FROM c{i} ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c.vec_id, c.u, least(c.dmin, 1.0 - {dot}) AS dmin"
+            f" FROM c{i} c, p{i} p WHERE c.vec_id <> p.vec_id)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS rk, vec_id, round(dmin, 6) AS dmin FROM p{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def q_kcenter_select(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point;
+    Sener & Savarese 2018 core-set data selection), k=8 over the
+    embeddings table: selection order + the max-min cosine distance at
+    each pick (rank 0 reports the 2.0 init sentinel). Oracle: the 8
+    greedy rounds unrolled as argmax-pick + dmin-update CTE pairs."""
+    from proxyfeatureextraction_spark.operators.similarity import kcenter_select
+
+    e = _table(spark, sf_dir, "embeddings")
+    out = kcenter_select(e, k=8)
+    return out.select(
+        F.col("rank").alias("rk"),
+        F.col("id").alias("vec_id"),
+        _R6(F.col("dmin"), "dmin"),
     )
 
 
@@ -1682,6 +1738,22 @@ def q_hash_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_split_by_cluster(spark, sf_dir):
+    """Leakage-safe cluster-granular split (Lee et al. 2021 §6.2:
+    near-dup train/test leakage): dedup_corpus clustering with the
+    split hash keyed on cluster_rep, so a near-dup cluster never
+    straddles train/eval. Oracle: the dedup_corpus recursive closure
+    feeding the same split_bounds threshold CASE on the min-reachable
+    id (full value oracle incl. the split label)."""
+    from proxyfeatureextraction_spark.operators.curation import split_by_cluster
+
+    d = _table(spark, sf_dir, "documents")
+    out = split_by_cluster(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=11, threshold=0.8
+    )
+    return out.select("doc_id", "cluster_rep", "split")
+
+
 def q_sample_per_group(spark, sf_dir):
     """Deterministic per-group uniform sample: rank by affine id hash
     within each lang, keep 5 — a seeded shuffle-order without RNG."""
@@ -2110,11 +2182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- gates whose implementation changed in round 5 ----------------
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
-        "sample_weighted": q_sample_weighted,
+        "split_by_cluster": q_split_by_cluster,
         "mix_corpus": q_mix_corpus,
         "dedup_lines": q_dedup_lines,
         "shuffle_shards": q_shuffle_shards,
-        "pack_sequences": q_pack_sequences,
+        "kcenter_select": q_kcenter_select,
         "curate_corpus": q_curate_corpus,
         "semantic_dedup": q_semantic_dedup,
         # -- new round-5 operators: first driver rows ---------------------
@@ -2142,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "contamination_report": q_contamination_report,
         "token_histogram": q_token_histogram,
+        "sample_weighted": q_sample_weighted,
+        "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
         "tumbling_keyed": q_tumbling_keyed,
         "prefix_cumsum": q_prefix_cumsum,
@@ -2561,6 +2635,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT d AS doc_id, min(r) AS cluster_rep, min(r) = d AS is_survivor
         FROM reach GROUP BY d
         """,
+        # same clustering as dedup_corpus; split label = hash_split's
+        # threshold CASE applied to the cluster representative id
+        "split_by_cluster": f"""
+        WITH RECURSIVE nd AS (
+          SELECT doc_id, {_normalize_sql('text')} AS text FROM documents
+        ),
+        {_jaccard_ctes('nd')},
+        ex AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nd a JOIN nd b ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        alle AS (
+          SELECT doc_a, doc_b FROM jpairs
+          UNION
+          SELECT doc_a, doc_b FROM ex
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM alle
+          UNION
+          SELECT doc_b, doc_a FROM alle
+        ),
+        reach(d, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.d, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        cl AS (SELECT d AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY d)
+        SELECT doc_id, cluster_rep,
+               {_split_case_sql(_id_hash_sql('cluster_rep', seed=11),
+                                {"train": 0.9, "val": 0.05, "test": 0.05})} AS split
+        FROM cl
+        """,
         # same clustering as dedup_corpus; survivor = argmax quality,
         # ties to the lower id. Every ratio is computed in DOUBLE (int /
         # CAST(len AS DOUBLE)) and each CASE arm is cast to DOUBLE before
@@ -2830,6 +2936,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
         SELECT vec_id, neighbor, cos_r AS cosine, rk FROM r WHERE rk <= 5
         """,
+        "kcenter_select": _kcenter_oracle(8),
         "embedding_dup_pairs": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),

@@ -141,6 +141,56 @@ def hash_split(
     return df.withColumn(split_col, split_assign(weights, id_col=id_col, seed=seed))
 
 
+def split_by_cluster(
+    df: DataFrame,
+    weights: dict[str, float],
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    split_col: str = "split",
+    rep_col: str = "cluster_rep",
+    **dedup_kwargs,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a near-dup
+    cluster gets the SAME label, because the split hash is keyed on the
+    cluster representative id instead of the document id.
+
+    Hashing documents independently (``hash_split``) sends ~w_train of
+    each near-dup cluster to train and the rest to eval — an eval set
+    that overlaps train nearly verbatim.  Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better", §6.2)
+    measure exactly this duplication-driven train/test leakage in
+    standard corpora; splitting at cluster granularity closes it by
+    construction because a cluster is an atom.
+
+    ``clusters`` is a precomputed ``(id_col, rep_col)`` assignment —
+    e.g. ``dedup_corpus(df)`` output (extra columns ignored). When
+    ``None`` it is computed here via ``dedup_corpus(df, id_col,
+    text_col, **dedup_kwargs)``.
+
+    Scale shape: one id-keyed equi-join of the corpus against the
+    ids-only cluster table (the exchange carries two longs per doc;
+    document text stays put on the df side of a sort-merge join), then
+    the same narrow ``split_assign`` projection ``hash_split`` uses —
+    no extra aggregate, window, or exchange beyond the clustering
+    itself.  Same ``OP_SPLIT`` hash domain as ``hash_split``: a
+    singleton cluster (rep == own id) gets exactly the label
+    ``hash_split`` would give it at the same seed, so introducing the
+    clustering only ever MOVES duplicate members onto their
+    representative's label — it never reshuffles the rest of the
+    corpus.
+    """
+    if clusters is None:
+        from proxyfeatureextraction_spark.operators.dedup import dedup_corpus
+
+        clusters = dedup_corpus(df, id_col=id_col, text_col=text_col, **dedup_kwargs)
+    cl = clusters.select(id_col, rep_col)
+    return df.join(cl, id_col).withColumn(
+        split_col, split_assign(weights, id_col=rep_col, seed=seed)
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     group_col: str,

@@ -616,3 +616,107 @@ def semantic_dedup(
         .drop("_rk")
         .select("vec_id", "cell", "cent_cos", "cluster_rep", "keep", "capped")
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection over an
+    embedding column — Gonzalez 1985's 2-approximation to the k-center
+    cover, used by Sener & Savarese 2018 ("Active Learning for CNNs: A
+    Core-Set Approach") as the diversity-maximizing data-selection
+    rule.  The coverage complement to SemDeDup: SemDeDup REMOVES
+    redundant points, k-center PICKS the spanning skeleton.
+
+    Returns ``(rank, id, dmin)`` — the selection order and, for each
+    pick, the max-min cosine distance at pick time (a monotone
+    non-increasing curve callers read to choose k; rank 0 reports the
+    2.0 init sentinel).  Selection rule: every row starts at
+    ``dmin = 2.0`` (> any cosine distance), each round picks
+    ``argmax(dmin, ties → lowest id)`` — so round 0 degenerates to the
+    lowest id and no special-casing is needed — then updates
+    ``dmin := min(dmin, 1 − ⟨u, u_pick⟩)`` on unit vectors (zero-norm
+    rows stay zero vectors: distance 1 to everything).
+
+    Scale shape: the working set is ``(id, unit_vec, dmin)`` —
+    persisted; each round is ONE map-side-partial ``max(struct)``
+    aggregate returning a single row to the driver (the only data ever
+    collected), then a narrow JVM-HOF dot-product update against the
+    picked vector's literals.  k rounds = k scans of the cached working
+    set; ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+    the accumulating lineage so round N never replays rounds 1..N−1.
+    The greedy sequence is inherently sequential (each pick conditions
+    on all previous), so k passes is the algorithm's floor — at 100 TB
+    you run it on a representative sample or per-shard, which this
+    operator leaves to the caller's input.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    nrm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cur = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_nrm", nrm)
+        .select(
+            "_id",
+            F.transform(
+                "_v",
+                lambda x: x
+                / F.when(F.col("_nrm") == 0.0, F.lit(1.0)).otherwise(
+                    F.col("_nrm")
+                ),
+            ).alias("_u"),
+            F.lit(2.0).alias("_dmin"),
+        )
+    )
+    cur = cur.persist()
+    spark = df.sparkSession
+    picks: list[tuple[int, int, float]] = []
+    prev = None
+    prev_ckpt = ckpt_cur = False
+    for i in range(k):
+        top = cur.agg(
+            F.max(
+                F.struct(
+                    F.col("_dmin").alias("d"),
+                    (-F.col("_id")).alias("nid"),
+                    F.col("_u").alias("u"),
+                )
+            ).alias("s")
+        ).head()["s"]
+        if top is None:  # fewer than k rows
+            break
+        picks.append((i, int(-top["nid"]), float(top["d"])))
+        pu = F.array(*[F.lit(float(x)) for x in top["u"]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_u"), pu, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nxt = cur.filter(F.col("_id") != int(-top["nid"])).withColumn(
+            "_dmin", F.least(F.col("_dmin"), F.lit(1.0) - dot)
+        )
+        ckpt = (i + 1) % checkpoint_every == 0
+        nxt = nxt.localCheckpoint(eager=True) if ckpt else nxt.persist()
+        # prev's cache is disposable once cur has materialized (the agg
+        # above did), EXCEPT when prev is a localCheckpoint — dropping
+        # those blocks would make cur unrecoverable under cache eviction
+        if prev is not None and not prev_ckpt:
+            prev.unpersist()
+        prev, prev_ckpt, cur = cur, ckpt_cur, nxt
+        ckpt_cur = ckpt
+    # the result is a k-row driver-built frame — the working set's
+    # storage is no longer referenced by anything returned
+    if prev is not None and not prev_ckpt:
+        prev.unpersist()
+    if not ckpt_cur:
+        cur.unpersist()
+    return spark.createDataFrame(picks, "rank int, id long, dmin double")

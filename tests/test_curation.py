@@ -1301,3 +1301,51 @@ def test_token_histogram_bit_length_buckets(spark):
     assert got[("t", 4)] == (2, 23)
     assert got[("t", 5)] == (1, 16)
     assert len(got) == 6
+
+
+# ----------------------------------------------------------- split_by_cluster
+
+
+def test_split_by_cluster_atomic_and_singleton_parity(spark):
+    from proxyfeatureextraction_spark.operators.curation import split_by_cluster
+
+    dup_rows = []
+    for i in range(40):
+        t = "dup body " + " ".join(f"w{i}x{j}" for j in range(10))
+        dup_rows += [(2 * i, t), (2 * i + 1, t)]
+    singles = [
+        (1000 + i, "unique " + " ".join(f"u{i}y{j}" for j in range(10)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(dup_rows + singles, "doc_id long, text string")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_by_cluster(df, w, seed=3).toPandas()
+    assert len(out) == 140
+    # clusters are atoms: exactly one split label per cluster_rep
+    assert (out.groupby("cluster_rep")["split"].nunique() == 1).all()
+    # the duplicate pairs really clustered onto the even (min) id
+    pairs = out[out.doc_id < 1000]
+    for i in range(40):
+        reps = pairs[pairs.doc_id.isin([2 * i, 2 * i + 1])]["cluster_rep"]
+        assert set(reps) == {2 * i}
+    # singleton labels coincide with hash_split at the same seed
+    hs = hash_split(df, w, seed=3).select("doc_id", "split").toPandas()
+    merged = out[out.doc_id >= 1000].merge(hs, on="doc_id", suffixes=("", "_hs"))
+    assert (merged["split"] == merged["split_hs"]).all()
+
+
+def test_split_by_cluster_precomputed_clusters(spark):
+    from proxyfeatureextraction_spark.operators.curation import split_by_cluster
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # hand-built clustering: everyone assigned to rep 0 or rep 1 by parity
+    cl = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "doc_id long, cluster_rep long"
+    )
+    out = split_by_cluster(
+        df, {"train": 0.5, "test": 0.5}, clusters=cl, seed=9
+    ).toPandas()
+    assert (out.groupby("cluster_rep")["split"].nunique() == 1).all()
+    assert set(out["cluster_rep"]) == {0, 1}

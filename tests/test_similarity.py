@@ -341,3 +341,83 @@ def test_semantic_dedup_capped_flag_not_a_window(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert not spec.startswith("cell#"), spec
     assert "partial_count" in plan, plan
+
+
+# ------------------------------------------------------------ kcenter_select
+
+
+def _kcenter_replay(ids, mat, k):
+    """Pure-python greedy farthest-point replay (same tie rules).
+
+    Sums are SEQUENTIAL left folds — numpy's pairwise/SIMD summation can
+    differ from Spark's F.aggregate fold by 1 ULP, which flips argmax
+    ties between exactly-duplicated rows.
+    """
+    import math
+
+    def fold_sum(xs):
+        acc = 0.0
+        for x in xs:
+            acc += x
+        return acc
+
+    u = []
+    for row in mat:
+        nrm = math.sqrt(fold_sum(x * x for x in row))
+        u.append([x / (nrm if nrm != 0.0 else 1.0) for x in row])
+    n = len(ids)
+    dmin = [2.0] * n
+    alive = [True] * n
+    picks = []
+    for r in range(min(k, n)):
+        # argmax(dmin, tie -> lowest id) over alive rows
+        best = max(
+            (i for i in range(n) if alive[i]),
+            key=lambda i: (dmin[i], -ids[i]),
+        )
+        picks.append((r, int(ids[best]), float(dmin[best])))
+        alive[best] = False
+        ub = u[best]
+        for i in range(n):
+            d = 1.0 - fold_sum(a * b for a, b in zip(u[i], ub))
+            if d < dmin[i]:
+                dmin[i] = d
+    return picks
+
+
+def test_kcenter_select_matches_greedy_replay(spark):
+    import numpy as np
+
+    from proxyfeatureextraction_spark.operators.similarity import kcenter_select
+
+    ids = list(range(40))
+    mat = np.array(
+        [[((i * 7 + j * 3) % 13) - 6.0 for j in range(8)] for i in ids]
+    )
+    mat[25] = mat[3]  # exact duplicate: must never be picked right after 3
+    mat[30] = 0.0  # zero-norm row
+    rows = [(i, [float(x) for x in mat[i]]) for i in ids]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = (
+        kcenter_select(df, k=10, checkpoint_every=4)
+        .orderBy("rank")
+        .collect()
+    )
+    want = _kcenter_replay(
+        np.array(ids), np.vstack([np.array(r[1], dtype=np.float32) for r in rows]).astype(np.float64), 10
+    )
+    assert [(g["rank"], g["id"]) for g in got] == [(r, i) for r, i, _ in want]
+    for g, (_, _, d) in zip(got, want):
+        assert abs(g["dmin"] - d) < 1e-9
+
+
+def test_kcenter_select_k_exceeds_rows(spark):
+    from proxyfeatureextraction_spark.operators.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kcenter_select(df, k=10).collect()
+    assert len(out) == 4  # stops when the working set is exhausted
+    assert sorted(r["id"] for r in out) == [0, 1, 2, 3]
