@@ -832,6 +832,35 @@ def _split_case_sql(hh_expr: str, weights: dict[str, float]) -> str:
     return f"CASE {whens} ELSE '{labels[-1]}' END"
 
 
+def _epoch_schedule_oracle() -> str:
+    """DuckDB twin of curation.epoch_schedule(en×2.5, zh×0.25, de×3,
+    default ×1, seed=2): per-source (base, threshold) from the SAME
+    epoch_bounds() float→int arithmetic, repeats emitted via
+    unnest(generate_series)."""
+    from proxyfeatureextraction_spark.operators.curation import (
+        OP_EPOCH,
+        epoch_bounds,
+    )
+
+    pairs = {g: epoch_bounds(e) for g, e in
+             {"en": 2.5, "zh": 0.25, "de": 3.0}.items()}
+    db, dt = epoch_bounds(1.0)
+    base = " ".join(f"WHEN '{g}' THEN {b}" for g, (b, _) in pairs.items())
+    thr = " ".join(f"WHEN '{g}' THEN {t}" for g, (_, t) in pairs.items())
+    hh = _id_hash_sql("doc_id", seed=2, op=OP_EPOCH)
+    return f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             (CASE lang {base} ELSE {db} END)
+             + (CASE WHEN ({hh}) < (CASE lang {thr} ELSE {dt} END)
+                THEN 1 ELSE 0 END) AS reps
+      FROM documents)
+    SELECT lang, doc_id,
+           CAST(unnest(generate_series(0, reps - 1)) AS BIGINT) AS epoch
+    FROM r WHERE reps > 0
+    """
+
+
 def _hash_split_oracle() -> str:
     """DuckDB twin of curation.hash_split({train:.9, val:.05, test:.05},
     seed=7): thresholds come from the SAME split_bounds() float→int
@@ -1790,6 +1819,48 @@ def q_mix_corpus(spark, sf_dir):
     return out.select("lang", "doc_id")
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Proportional stratified sample, n=77 total across langs:
+    largest-remainder (Hamilton) allocation in pure INTEGER arithmetic
+    + domain-separated hash order within each stratum — the fixed-budget
+    representative draw (eval subsets, labeling batches)."""
+    from proxyfeatureextraction_spark.operators.curation import sample_stratified
+
+    d = _table(spark, sf_dir, "documents")
+    return sample_stratified(d, "lang", 77, seed=5).select("lang", "doc_id")
+
+
+def q_epoch_schedule(spark, sf_dir):
+    """Per-source epoch repetition schedule (Muennighoff 2023
+    data-constrained scaling): en×2.5, zh×0.25, de×3, default ×1 —
+    floor(e) repeats per doc plus one more iff the OP_EPOCH hash clears
+    the fractional threshold; zero-repeat docs drop out."""
+    from proxyfeatureextraction_spark.operators.curation import epoch_schedule
+
+    d = _table(spark, sf_dir, "documents")
+    out = epoch_schedule(
+        d, {"en": 2.5, "zh": 0.25, "de": 3.0}, default=1.0,
+        group_col="lang", seed=2,
+    )
+    return out.select("lang", "doc_id", F.col("epoch").cast("long").alias("epoch"))
+
+
+def q_embedding_pca(spark, sf_dir):
+    """PCA projection of the embeddings table to 4 components
+    (SemDeDup-style preprocessing): partial Gram per Arrow batch →
+    driver eigh → JVM HOF projection. No SQL oracle by necessity
+    (DuckDB has no eigendecomposition) — value-pinned by the numpy
+    replay pytest; rows-only driver check."""
+    from proxyfeatureextraction_spark.operators.similarity import embedding_pca
+
+    e = _table(spark, sf_dir, "embeddings")
+    out = embedding_pca(e, k=4)
+    return out.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher rule-based quality signals (Rae et al. 2021 §A1.1.1):
     word stats, symbol/alpha ratios, stopword hits, bullet/ellipsis
@@ -2214,6 +2285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "contamination_report": q_contamination_report,
         "token_histogram": q_token_histogram,
+        "sample_stratified": q_sample_stratified,
+        "epoch_schedule": q_epoch_schedule,
+        "embedding_pca": q_embedding_pca,
         "sample_weighted": q_sample_weighted,
         "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
@@ -3642,6 +3716,29 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
         SELECT lang, doc_id FROM r WHERE rk <= 5
         """,
+        # largest-remainder allocation in pure integer arithmetic
+        # (num // T, num % T — sum(BIGINT) is HUGEINT in DuckDB, values
+        # identical), then the same OP_STRAT hash order within strata
+        "sample_stratified": f"""
+        WITH c AS (SELECT lang AS g, count(*) AS c FROM documents GROUP BY 1),
+        t AS (SELECT sum(c) AS tt FROM c),
+        a AS (SELECT g, c, (77 * c) // tt AS base, (77 * c) % tt AS rem
+              FROM c, t),
+        d AS (SELECT 77 - sum(base) AS deficit FROM a),
+        r AS (SELECT g, base + (CASE WHEN row_number()
+                                          OVER (ORDER BY rem DESC, g)
+                                     <= (SELECT deficit FROM d)
+                                THEN 1 ELSE 0 END) AS alloc
+              FROM a),
+        h AS (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY {_id_hash_sql('doc_id', seed=5, op=6)},
+                                                 doc_id) AS rk
+              FROM documents)
+        SELECT h.lang, h.doc_id FROM h JOIN r ON h.lang = r.g
+        WHERE h.rk <= r.alloc
+        """,
+        "epoch_schedule": _epoch_schedule_oracle(),
         "mix_corpus": f"""
         WITH c AS (
           SELECT lang, CAST(count(*) AS DOUBLE) AS n,

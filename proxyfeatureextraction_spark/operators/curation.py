@@ -41,6 +41,7 @@ from proxyfeatureextraction_spark.operators.dedup import (
 # statistical bias in the intended pipeline composition).
 _OP_SPACE = 8
 OP_SPLIT, OP_SAMPLE, OP_WSAMPLE, OP_MIX, OP_SHARD, OP_PACK = 0, 1, 2, 3, 4, 5
+OP_STRAT, OP_EPOCH = 6, 7
 
 # Knuth's multiplicative constant reduced into the hash field — the
 # base of the domain-separation exponentiation below.
@@ -255,6 +256,136 @@ def weighted_sample_per_group(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def stratified_allocation(counts: dict, n: int) -> dict:
+    """Largest-remainder (Hamilton) apportionment of ``n`` sample slots
+    across strata, proportional to their ``counts`` — INTEGER arithmetic
+    only: ``num = n·c_g``, ``base_g = num // T``, ``rem_g = num % T``,
+    then the ``n − Σ base`` largest remainders (ties to the smaller
+    stratum key) each get one extra slot. No float quotas anywhere, so
+    the DuckDB oracle reproduces the allocation bit-exactly. For
+    ``n ≤ T`` every allocation is feasible (``base_g + 1 ≤ c_g``
+    whenever the remainder is nonzero, since ``n·c_g/T < c_g``).
+
+    Shared by ``sample_stratified`` and its SQL oracle builder."""
+    total = sum(counts.values())
+    if total == 0:
+        return {g: 0 for g in counts}
+    if n > total:
+        raise ValueError(f"stratified sample n={n} exceeds corpus size {total}")
+    base = {g: (n * c) // total for g, c in counts.items()}
+    deficit = n - sum(base.values())
+    by_rem = sorted(counts, key=lambda g: (-((n * counts[g]) % total), g))
+    for g in by_rem[:deficit]:
+        base[g] += 1
+    return base
+
+
+def sample_stratified(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic proportional stratified sample of ``n`` TOTAL rows:
+    each stratum (``group_col`` value) contributes slots proportional to
+    its size under largest-remainder apportionment
+    (``stratified_allocation``), then rows are drawn inside each stratum
+    by the domain-separated affine id hash (``OP_STRAT`` — independent
+    of every other hash-threshold operator at the same seed) with id
+    tiebreak — a seeded shuffle-order without RNG, stable across
+    re-runs, reorderings and repartitionings.
+
+    ``sample_per_group`` answers "n PER group"; this answers "n TOTAL,
+    representative of the group distribution" — the audit/eval-subset
+    draw (fixed labeling budget, proportional source representation).
+
+    Scale shape: one map-side-partial count aggregate collected to the
+    driver (one row per stratum — same pattern as ``mix_corpus``), the
+    allocation map shipped back as literals, then the same single
+    hash-partition exchange + per-group sort ``sample_per_group`` costs.
+    Heavy strata cost O(group log group) in their own sort; no stratum's
+    rows ever visit the driver.
+    """
+    counts = {
+        r["_g"]: r["_n"]
+        for r in df.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    alloc = stratified_allocation(counts, n)
+    if not alloc:
+        return df.limit(0)
+    amap = F.create_map(
+        *[F.lit(x) for kv in alloc.items() for x in kv]
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        _id_hash(id_col, seed, op=OP_STRAT), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= amap[F.col(group_col)])
+        .drop("_rk")
+    )
+
+
+def epoch_bounds(e: float) -> tuple:
+    """(base_epochs, extra-epoch hash threshold) for a fractional epoch
+    count ``e``: every doc is repeated ``base = floor(e)`` times and
+    gets one extra repeat iff its id hash < ``int((e − base) · M)`` —
+    the same float→int threshold arithmetic ``split_bounds`` uses, so
+    the SQL oracle reproduces the draw bit-exactly. Shared by
+    ``epoch_schedule`` and its oracle builder."""
+    if e < 0:
+        raise ValueError(f"epoch count must be non-negative, got {e}")
+    base = int(e)
+    return base, int((float(e) - base) * HASH_MOD)
+
+
+def epoch_schedule(
+    df: DataFrame,
+    epochs: dict,
+    default: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Per-source epoch repetition schedule for data-constrained
+    training mixes (Muennighoff et al. 2023, "Scaling Data-Constrained
+    Language Models": repeating data up to ~4 epochs is near-as-good as
+    fresh data, so scarce high-quality sources are repeated while
+    abundant ones run under one epoch): each document is emitted
+    ``floor(e)`` times, plus once more iff its domain-separated id hash
+    (``OP_EPOCH``) clears the fractional-part threshold — so a source
+    with ``e = 2.3`` repeats every doc twice and a deterministic ~30%
+    of docs a third time, and ``e = 0.4`` subsamples the source to ~40%
+    (zero-repeat docs are dropped). Output rows carry ``epoch_col``
+    (0-based repeat index); feed through ``shuffle_shards`` for a
+    training order.
+
+    Sources absent from ``epochs`` get ``default``. RNG-free: re-runs,
+    reorderings and repartitionings emit the identical multiset.
+
+    Scale shape: ZERO exchanges — a literal CASE on ``group_col`` picks
+    (base, threshold), one comparison on the id hash, and a
+    ``sequence``+``explode`` fuses into the scan. Output size is the
+    schedule's token budget (Σ e_s·n_s rows), exactly the explode's
+    fan-out — nothing is buffered per group.
+    """
+    pairs = {g: epoch_bounds(e) for g, e in epochs.items()}
+    dbase, dthr = epoch_bounds(default)
+    h = _id_hash(id_col, seed, op=OP_EPOCH)
+    base_c, thr_c = F.lit(dbase), F.lit(dthr)
+    for g, (b, t) in pairs.items():
+        cond = F.col(group_col) == g
+        base_c = F.when(cond, F.lit(b)).otherwise(base_c)
+        thr_c = F.when(cond, F.lit(t)).otherwise(thr_c)
+    reps = base_c + F.when(h < thr_c, F.lit(1)).otherwise(F.lit(0))
+    seq = F.when(reps > 0, F.sequence(F.lit(0), reps - F.lit(1)))
+    return df.withColumn(epoch_col, F.explode(seq))
 
 
 def mix_corpus(

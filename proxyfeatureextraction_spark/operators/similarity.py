@@ -720,3 +720,115 @@ def kcenter_select(
     if not ckpt_cur:
         cur.unpersist()
     return spark.createDataFrame(picks, "rank int, id long, dmin double")
+
+
+def embedding_pca(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """PCA projection of an embedding column to ``k`` dimensions — the
+    dimensionality-reduction / whitening preprocessing step embedding
+    pipelines run before clustering or ANN (SemDeDup, Abbas et al. 2023,
+    applies exactly this before its k-means pass; Jegou et al. 2011 use
+    PCA+whitening ahead of product quantization).
+
+    Two-stage scale shape (the classic distributed covariance pattern):
+
+    1. **Partial Gram per Arrow batch** (``mapInPandas``): each batch
+       emits ONE row ``(n, Σv, VᵀV)`` — d + d² doubles regardless of
+       batch size. The collect moves O(partitions · d²) bytes to the
+       driver (64-dim → 33 KB per partition), never row data.
+    2. **Driver eigendecomposition** of the d×d covariance (numpy
+       ``eigh`` — symmetric, deterministic), components sign-fixed
+       (the largest-|loading| coordinate, ties to the lowest index via
+       argmax, is made positive) so re-runs and replays agree.
+    3. **JVM-side projection**: the k mean-centered dot products run as
+       ``zip_with``+``aggregate`` HOFs against the component vectors'
+       literals — whole-stage-codegen, no Python in the per-row path.
+
+    ``whiten=True`` scales each output coordinate by ``1/√eigenvalue``
+    (unit component variance; ``eps`` floors degenerate directions).
+    Returns ``(id_col, pca array<double>)`` plus ``explained`` — the
+    per-component explained-variance ratios — attached as a literal
+    column (same value every row; drop it if not wanted).
+
+    Float caveat: partial sums are combined in partition order, so the
+    covariance (hence components) is deterministic for a fixed input
+    partitioning — the same caveat every distributed moment
+    aggregation carries; at 100 TB you pin the scan split size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    parts = base.select("v").mapInPandas(
+        partial, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("embedding_pca: empty input")
+    n_tot = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        g += np.asarray(p["g"]).reshape(d, d)
+    mean = s / n_tot
+    cov = g / n_tot - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:k]
+    w = evecs[:, order].T  # (k, d)
+    lam = np.maximum(evals[order], 0.0)
+    # sign fix: largest-|loading| coordinate (argmax -> lowest index on
+    # ties) made positive, so the projection is replay-stable
+    for j in range(k):
+        i = int(np.argmax(np.abs(w[j])))
+        if w[j, i] < 0:
+            w[j] = -w[j]
+    total_var = float(np.maximum(evals, 0.0).sum())
+    explained = (lam / total_var if total_var > 0 else np.zeros(k)).tolist()
+    scale = 1.0 / np.sqrt(np.maximum(lam, eps)) if whiten else np.ones(k)
+
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with("v", mean_lit, lambda a, b: a - b)
+    comps = []
+    for j in range(k):
+        wj = F.array(*[F.lit(float(x)) for x in w[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_c"), wj, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append((dot * F.lit(float(scale[j]))).alias(f"_p{j}"))
+    out = (
+        base.withColumn("_c", centered)
+        .select("_id", *comps)
+        .select(
+            F.col("_id").alias(id_col),
+            F.array(*[F.col(f"_p{j}") for j in range(k)]).alias("pca"),
+            F.array(*[F.lit(float(x)) for x in explained]).alias("explained"),
+        )
+    )
+    return out

@@ -1349,3 +1349,106 @@ def test_split_by_cluster_precomputed_clusters(spark):
     ).toPandas()
     assert (out.groupby("cluster_rep")["split"].nunique() == 1).all()
     assert set(out["cluster_rep"]) == {0, 1}
+
+
+# --------------------------------------------------- sample_stratified
+
+
+def test_stratified_allocation_hamilton():
+    from proxyfeatureextraction_spark.operators.curation import (
+        stratified_allocation,
+    )
+
+    counts = {"a": 10, "b": 20, "c": 5, "d": 1}
+    alloc = stratified_allocation(counts, 7)
+    assert sum(alloc.values()) == 7
+    total = sum(counts.values())
+    # Hamilton quota property: floor(q) <= alloc <= ceil(q)
+    for g, c in counts.items():
+        q = 7 * c / total
+        assert int(q) <= alloc[g] <= int(q) + 1
+    # integer determinism: same dict again
+    assert stratified_allocation(counts, 7) == alloc
+    # n == total -> everyone whole
+    assert stratified_allocation(counts, total) == counts
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stratified_allocation(counts, total + 1)
+
+
+def test_sample_stratified_draw(spark):
+    from proxyfeatureextraction_spark.operators.curation import (
+        sample_stratified,
+        stratified_allocation,
+    )
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)] + [
+        (1000 + i, "g3") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = sample_stratified(df, "src", 37, id_col="doc_id", seed=4).toPandas()
+    counts = {"g0": 30, "g1": 30, "g2": 30, "g3": 10}
+    alloc = stratified_allocation(counts, 37)
+    got = out.groupby("src")["doc_id"].count().to_dict()
+    assert got == {g: a for g, a in alloc.items() if a}
+    # repartition invariance (hash order, not partition order)
+    out2 = (
+        sample_stratified(df.repartition(7), "src", 37, id_col="doc_id", seed=4)
+        .toPandas()
+    )
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
+    # a different seed draws a different subset (same allocation)
+    out3 = sample_stratified(df, "src", 37, id_col="doc_id", seed=5).toPandas()
+    assert sorted(out3.doc_id) != sorted(out.doc_id)
+    assert out3.groupby("src")["doc_id"].count().to_dict() == got
+
+
+# ------------------------------------------------------ epoch_schedule
+
+
+def test_epoch_schedule_multiset(spark):
+    from proxyfeatureextraction_spark.operators.curation import (
+        OP_EPOCH,
+        epoch_bounds,
+        epoch_schedule,
+        op_seed,
+    )
+    from proxyfeatureextraction_spark.operators.dedup import (
+        HASH_MOD,
+        perm_params,
+    )
+
+    rows = [(i, ["a", "b", "c", "x"][i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    eps = {"a": 2.0, "b": 0.5, "c": 2.25}
+    out = epoch_schedule(df, eps, default=1.0, seed=6).toPandas()
+
+    a, b = perm_params(op_seed(6, OP_EPOCH))
+    def n_rep(i, src):
+        base, thr = epoch_bounds(eps.get(src, 1.0))
+        return base + (1 if ((i % HASH_MOD) * a + b) % HASH_MOD < thr else 0)
+
+    per_doc = out.groupby("doc_id")["epoch"].agg(["count", "min", "max"])
+    for i, src in rows:
+        want = n_rep(i, src)
+        if want == 0:
+            assert i not in per_doc.index
+        else:
+            assert per_doc.loc[i, "count"] == want
+            assert per_doc.loc[i, "min"] == 0
+            assert per_doc.loc[i, "max"] == want - 1
+    # integral epochs repeat exactly; the fractional threshold actually
+    # fires both ways somewhere in the fixture
+    assert all(n_rep(i, "a") == 2 for i, _ in rows)
+    reps_b = {n_rep(i, "b") for i, s in rows if s == "b"}
+    reps_c = {n_rep(i, "c") for i, s in rows if s == "c"}
+    assert reps_b == {0, 1} and reps_c == {2, 3}
+
+
+def test_epoch_schedule_negative_raises():
+    from proxyfeatureextraction_spark.operators.curation import epoch_bounds
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        epoch_bounds(-0.1)

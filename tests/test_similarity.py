@@ -421,3 +421,80 @@ def test_kcenter_select_k_exceeds_rows(spark):
     out = kcenter_select(df, k=10).collect()
     assert len(out) == 4  # stops when the working set is exhausted
     assert sorted(r["id"] for r in out) == [0, 1, 2, 3]
+
+
+# ------------------------------------------------------- embedding_pca
+
+
+def _pca_replay(mat, k, whiten=False, eps=1e-12):
+    import numpy as np
+
+    n = len(mat)
+    mean = mat.sum(axis=0) / n
+    cov = mat.T @ mat / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:k]
+    w = evecs[:, order].T
+    lam = np.maximum(evals[order], 0.0)
+    for j in range(k):
+        i = int(np.argmax(np.abs(w[j])))
+        if w[j, i] < 0:
+            w[j] = -w[j]
+    proj = (mat - mean) @ w.T
+    if whiten:
+        proj = proj / np.sqrt(np.maximum(lam, eps))
+    return proj
+
+
+def test_embedding_pca_matches_numpy(spark):
+    import numpy as np
+
+    from proxyfeatureextraction_spark.operators.similarity import embedding_pca
+
+    rng_free = np.array(
+        [
+            [((i * 13 + j * 7) % 23) - 11.0 + 0.5 * ((i * j) % 5) for j in range(6)]
+            for i in range(80)
+        ]
+    )
+    rows = [(i, [float(x) for x in rng_free[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = (
+        embedding_pca(df, k=3)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    mat = rng_free.astype(np.float32).astype(np.float64)
+    want = _pca_replay(mat, 3)
+    got = np.vstack(out["pca"].to_numpy())
+    assert np.allclose(got, want, atol=1e-7)
+    expl = np.array(out["explained"].iloc[0])
+    assert expl.shape == (3,)
+    assert (np.diff(expl) <= 1e-12).all() and expl.sum() <= 1.0 + 1e-9
+
+
+def test_embedding_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from proxyfeatureextraction_spark.operators.similarity import embedding_pca
+
+    mat = np.array(
+        [[np.sin(i * 0.7 + j) * (j + 1) for j in range(5)] for i in range(200)]
+    )
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_pca(df, k=2, whiten=True).orderBy("vec_id").toPandas()
+    got = np.vstack(out["pca"].to_numpy())
+    assert np.allclose(got.var(axis=0, ddof=0), 1.0, atol=1e-6)
+
+
+def test_embedding_pca_k_exceeds_dim(spark):
+    import pytest as _pt
+
+    from proxyfeatureextraction_spark.operators.similarity import embedding_pca
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pt.raises(ValueError):
+        embedding_pca(df, k=3).collect()
