@@ -1861,6 +1861,42 @@ def q_embedding_pca(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc 8-gram novelty fraction (earliest-occurrence share, Lee
+    2021 memorization proxy): array_distinct inside the row, two
+    map-side-partial aggregates, no gram-keyed join — full value
+    oracle on the shared polynomial gram hash."""
+    from proxyfeatureextraction_spark.operators.curation import ngram_novelty
+
+    d = _table(spark, sf_dir, "documents")
+    return ngram_novelty(d, n=8)
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Length-curriculum ordering (Bengio 2009): exact global rank by
+    (n_chars, doc_id) WITHOUT a single-partition global window (frozen
+    approxQuantile bucket literals + per-bucket offsets), NTILE-4
+    phases in closed form, domain-separated within-phase shuffle key."""
+    from proxyfeatureextraction_spark.operators.curation import curriculum_order
+
+    d = _table(spark, sf_dir, "documents")
+    return curriculum_order(d, "n_chars", 4, seed=3, n_buckets=16)
+
+
+def q_bpe_train(spark, sf_dir):
+    """Corpus-trained BPE merges table (Sennrich 2016): distributed
+    pre-token frequency aggregation (Arrow-batched Counter pre-agg →
+    one vocabulary-sized groupBy) + the bounded driver merge loop.
+    Iterative algorithm — no SQL oracle by documented necessity;
+    rows-only driver check, value-pinned by the differential pytest
+    (distributed == driver trainer bit-identical) and the Sennrich
+    worked example."""
+    from proxyfeatureextraction_spark.functions.bpe import bpe_train
+
+    d = _table(spark, sf_dir, "documents")
+    return bpe_train(d, 40, min_freq=2)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher rule-based quality signals (Rae et al. 2021 §A1.1.1):
     word stats, symbol/alpha ratios, stopword hits, bullet/ellipsis
@@ -2288,6 +2324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "epoch_schedule": q_epoch_schedule,
         "embedding_pca": q_embedding_pca,
+        "ngram_novelty": q_ngram_novelty,
+        "curriculum_order": q_curriculum_order,
+        "bpe_train": q_bpe_train,
         "sample_weighted": q_sample_weighted,
         "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
@@ -3739,6 +3778,49 @@ def oracle_sql() -> dict[str, str]:
         WHERE h.rk <= r.alloc
         """,
         "epoch_schedule": _epoch_schedule_oracle(),
+        "ngram_novelty": f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+                                     w -> length(w) > 0) AS a
+          FROM documents
+        ),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 {_word_hash_sql("array_to_string(a[t.i:t.i+7], ' ')")} AS h
+          FROM toks, UNNEST(range(1, len(a) - 8 + 2)) AS t(i)
+          WHERE len(a) >= 8
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+        fst AS (SELECT h, min(doc_id) AS first_doc FROM dg GROUP BY h),
+        nn AS (SELECT first_doc AS doc_id, count(*) AS n_novel
+               FROM fst GROUP BY first_doc)
+        SELECT d.doc_id,
+               CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(nn.n_novel, 0) AS BIGINT) AS n_novel,
+               round(CASE WHEN coalesce(tot.n_grams, 0) > 0
+                          THEN CAST(coalesce(nn.n_novel, 0) AS DOUBLE)
+                               / tot.n_grams
+                          ELSE 0.0 END, 6) AS novelty
+        FROM documents d
+        LEFT JOIN tot USING (doc_id) LEFT JOIN nn USING (doc_id)
+        """,
+        "curriculum_order": f"""
+        WITH r AS (
+          SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+                 row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id)
+                   AS rank,
+                 ntile(4) OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id)
+                   AS phase
+          FROM documents
+        )
+        SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+               CAST(phase AS INT) AS phase,
+               CAST(rank - min(rank) OVER (PARTITION BY phase) + 1 AS BIGINT)
+                 AS phase_pos,
+               CAST({_id_hash_sql('doc_id', seed=3, op=8)} AS BIGINT)
+                 AS order_key
+        FROM r
+        """,
         "mix_corpus": f"""
         WITH c AS (
           SELECT lang, CAST(count(*) AS DOUBLE) AS n,

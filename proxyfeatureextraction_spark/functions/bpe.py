@@ -102,6 +102,15 @@ def train_bpe_merges(
             w = _byte_symbols(pt)
             if len(w) > 1:
                 word_freq[w] = word_freq.get(w, 0) + 1
+    return _merge_loop(word_freq, n_merges, min_pair_count)
+
+
+def _merge_loop(
+    word_freq: dict[tuple[str, ...], int], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """The greedy BPE merge loop over a symbol-word frequency dict —
+    shared verbatim by the driver-side trainer and the distributed
+    trainer (whose Spark stage ends at exactly this dict)."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_counts: dict[tuple[str, str], int] = {}
@@ -277,3 +286,118 @@ def bpe_tokens(
         return pd.Series([one(t) for t in s])
 
     return df.withColumn(out_col, _toks(F.col(text_col)))
+
+
+def corpus_word_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_words: int = 2_000_000,
+) -> DataFrame:
+    """Corpus-scale pre-token frequency table ``(pretoken, freq)`` —
+    the distributed (100 TB) half of BPE training.  Pre-tokenization
+    runs the exact stdlib-``re`` GPT-2 pattern inside an Arrow-batched
+    ``mapInPandas`` (the Python regex IS the spec — a Java-regex
+    translation of ``[^\\W\\d_]`` would silently diverge on unicode
+    classes, so this is a documented legitimate pandas-UDF slot like
+    the zlib signal), with per-batch ``Counter`` pre-aggregation so
+    the exchange carries one row per DISTINCT pre-token per batch —
+    natural text repeats pre-tokens heavily, so the shuffle volume is
+    near the vocabulary size, not the corpus size.  One
+    ``groupBy(pretoken).sum`` (map-side partial) finishes the count.
+
+    ``min_freq`` prunes the long tail BEFORE any driver collect;
+    ``max_words`` is the fail-fast bound the collect in
+    ``train_bpe_merges_distributed`` checks against (same guarded-
+    collect convention as the exact-Jaccard baseline).
+    """
+    import pandas as pd
+
+    def _count(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for t in pdf[text_col]:
+                if t:
+                    c.update(PRETOKEN_RE.findall(t))
+            if c:
+                yield pd.DataFrame(
+                    {"pretoken": list(c.keys()), "freq": list(c.values())}
+                )
+
+    wf = (
+        df.select(text_col)
+        .mapInPandas(_count, "pretoken string, freq long")
+        .groupBy("pretoken")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    if min_freq > 1:
+        wf = wf.where(F.col("freq") >= min_freq)
+    return wf
+
+
+def train_bpe_merges_distributed(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    min_freq: int = 1,
+    max_words: int = 2_000_000,
+) -> list[tuple[str, str]]:
+    """Learn a ranked merges table FROM a Spark corpus — the scale
+    path of ``train_bpe_merges`` (bit-identical output on the same
+    corpus; pinned by the differential pytest).  Architecture follows
+    how production tokenizer trainers actually scale (SentencePiece /
+    HF tokenizers): the corpus-sized work is the pre-token frequency
+    aggregation (``corpus_word_freq`` — one shuffle whose volume is
+    the vocabulary, not the corpus), and the greedy merge loop then
+    runs over that BOUNDED table on the driver — a web-scale corpus
+    has ~10^7-10^8 distinct pre-tokens before ``min_freq`` pruning,
+    orders of magnitude below the corpus itself, and each merge round
+    touches only words containing the merged pair.  The collect is
+    fail-fast guarded at ``max_words`` rows; raise ``min_freq`` (every
+    real tokenizer does) rather than the cap.
+    """
+    wf = corpus_word_freq(df, text_col, min_freq=min_freq, max_words=max_words)
+    n = wf.count()
+    if n > max_words:
+        raise ValueError(
+            f"word-frequency table has {n} rows > max_words={max_words}; "
+            f"raise min_freq (tail pruning) or max_words"
+        )
+    word_freq: dict[tuple[str, ...], int] = {}
+    for r in wf.collect():
+        w = _byte_symbols(r["pretoken"])
+        if len(w) > 1:
+            word_freq[w] = word_freq.get(w, 0) + int(r["freq"])
+    return _merge_loop(word_freq, n_merges, min_pair_count)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    min_freq: int = 1,
+    max_words: int = 2_000_000,
+) -> DataFrame:
+    """DataFrame surface over ``train_bpe_merges_distributed``: one row
+    per learned merge, ``(rank, left, right)``, rank 0 = first merge.
+    Deterministic for a given corpus (greedy max-frequency with
+    lexicographic tie-break). Feed the result straight to
+    ``bpe_token_count(merges=...)`` / ``pack_sequences(tok_col=...)``
+    to tokenize with the corpus's own vocabulary."""
+    merges = train_bpe_merges_distributed(
+        df,
+        n_merges,
+        text_col=text_col,
+        min_pair_count=min_pair_count,
+        min_freq=min_freq,
+        max_words=max_words,
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )

@@ -39,9 +39,9 @@ from proxyfeatureextraction_spark.operators.dedup import (
 # thresholds then partitioned those same low hashes — val/test came
 # back empty or skewed for exactly the downsampled groups (a silent
 # statistical bias in the intended pipeline composition).
-_OP_SPACE = 8
+_OP_SPACE = 16
 OP_SPLIT, OP_SAMPLE, OP_WSAMPLE, OP_MIX, OP_SHARD, OP_PACK = 0, 1, 2, 3, 4, 5
-OP_STRAT, OP_EPOCH = 6, 7
+OP_STRAT, OP_EPOCH, OP_CURR = 6, 7, 8
 
 # Knuth's multiplicative constant reduced into the hash field — the
 # base of the domain-separation exponentiation below.
@@ -1382,4 +1382,187 @@ def shuffle_shards(
     return (
         out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .drop("_h")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams whose earliest corpus occurrence (lowest
+    ``doc_id``) is this document.  A near-zero score marks a document
+    assembled entirely from text seen earlier in the corpus — the
+    document-level memorization proxy behind the dedup thresholds of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), usable as a ranking signal where the hard
+    dedup passes are too blunt.  Returns one row per input document:
+    ``(doc_id, n_grams, n_novel, novelty)`` with ``novelty`` rounded
+    to 6 places (oracle float parity); gram-free docs (< ``n`` words)
+    come back ``(0, 0, 0.0)``.
+
+    Scale shape — no gram-keyed JOIN anywhere: per-doc dedup happens
+    INSIDE the row (``array_distinct`` over the hashed gram array, so
+    the explode already emits distinct ``(doc_id, h)`` pairs), and
+    "is this doc the first occurrence?" is answered by two
+    aggregates, not a join back: ``groupBy(h).agg(min(doc_id))`` is
+    map-side partial (the corpus's hottest boilerplate gram collapses
+    to one candidate per map task before the exchange), and counting
+    each doc's wins is ``groupBy(first_doc).count()`` over that
+    already-one-row-per-gram table.  The only join is per-doc totals
+    vs per-doc wins on unique ``doc_id`` — uniformly distributed by
+    construction.  Exchanges carry ``(h, doc_id)`` longs; gram text
+    never shuffles.  64-bit (portable: mod-1e9+7) digests stand in
+    for the grams themselves, so hash-colliding gram pairs merge —
+    the same documented tradeoff as the rest of the digest-keyed
+    family, shared exactly by the DuckDB oracle twin.
+
+    ``portable=True`` hashes grams with the polynomial char fold
+    (DuckDB-twin exact; what the driver gate checks);
+    ``portable=False`` uses JVM ``xxhash64`` — faster, same
+    statistics, for production runs that don't need the SQL oracle.
+    """
+    from proxyfeatureextraction_spark.operators.dedup import portable_word_hash
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if portable:
+        hs = F.transform(grams, lambda g: portable_word_hash(g))
+    else:
+        hs = F.transform(grams, lambda g: F.xxhash64(g))
+    dg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.array_distinct(hs)).alias("h"),
+    )
+    n_tot = dg.groupBy("doc_id").agg(
+        F.count("h").alias("n_grams")  # count(col) skips the explode_outer null
+    )
+    firsts = dg.where(F.col("h").isNotNull()).groupBy("h").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    n_new = firsts.groupBy("first_doc").count().select(
+        F.col("first_doc").alias("doc_id"), F.col("count").alias("n_novel")
+    )
+    return (
+        n_tot.join(n_new, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce("n_novel", F.lit(0)) / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_phases: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+    n_buckets: int | None = None,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Curriculum ordering for training (Bengio et al. 2009): rank the
+    corpus by a difficulty score (ties by id), cut the ranking into
+    ``n_phases`` equal NTILE phases (phase 1 = easiest when
+    ``ascending``), and give every row its exact global rank, its
+    position within the phase, and a domain-separated hash
+    ``order_key`` that shuffles WITHIN a phase (so a loader that sorts
+    by ``(phase, order_key, doc_id)`` replays easy→hard with
+    decorrelated order inside each phase — no extra pass needed).
+    Returns ``(doc_id, <score_col>, rank, phase, phase_pos,
+    order_key)``; deterministic from ``(seed, n_phases)`` alone.
+
+    Scale shape — exact global rank WITHOUT a single-partition global
+    window (the classic `Window.orderBy(score)` trap funnels the whole
+    corpus through one task): (1) freeze ``n_buckets`` score
+    boundaries via deterministic Greenwald–Khanna ``approxQuantile``
+    literals (no RNG, unlike `repartitionByRange`, whose boundary
+    RE-SAMPLING between the count pass and the rank pass is not
+    guaranteed identical); (2) per-bucket counts (≤ ``n_buckets``
+    rows) collect to the driver and become cumulative offset
+    literals; (3) rank = offset + row_number windowed WITHIN the
+    bucket — partitions are quantile-balanced at ~corpus/n_buckets.
+    ``phase`` and ``phase_pos`` are then CLOSED-FORM in (rank, N,
+    n_phases) — NTILE's first ``N % k`` tiles carry one extra row —
+    so the phase cut adds zero extra exchange or window.  Three
+    passes over the two-column ``(id, score)`` projection (quantile
+    sketch, bucket counts, rank); text never enters the plan.
+
+    Caveat: boundaries cut on SCORE alone, so probability mass
+    concentrated on one exact score value lands in one bucket (ties
+    can't be split across buckets without losing the frozen-literal
+    determinism). For discrete scores with heavy modes, pre-jitter
+    the score deterministically (e.g. ``score + id%1000 * 1e-9``) or
+    raise ``n_buckets``.
+    """
+    if n_phases <= 0:
+        raise ValueError("n_phases must be positive")
+    slim = df.select(
+        F.col(id_col).alias("doc_id"), F.col(score_col).cast("double").alias("_s")
+    )
+    sc = slim.sparkSession.sparkContext
+    p = n_buckets or max(sc.defaultParallelism, 2)
+    probs = [i / p for i in range(1, p)]
+    bounds = sorted(set(slim.stat.approxQuantile("_s", probs, rel_err)))
+    key = F.col("_s") if ascending else -F.col("_s")
+    if not ascending:
+        bounds = sorted(-b for b in bounds)
+    bucket = F.lit(0)
+    for b in bounds:  # quantile-balanced; len(bounds) < n_buckets literals
+        bucket = bucket + F.when(key > F.lit(b), 1).otherwise(0)
+    bk = slim.withColumn("_b", bucket)
+    rows = bk.groupBy("_b").count().collect()
+    sizes = {r["_b"]: r["count"] for r in rows}
+    total = sum(sizes.values())
+    off, offsets = 0, {}
+    for b in sorted(sizes):
+        offsets[b] = off
+        off += sizes[b]
+    off_col = F.lit(0)
+    for b, o in offsets.items():
+        off_col = F.when(F.col("_b") == b, F.lit(o)).otherwise(off_col)
+    w = Window.partitionBy("_b").orderBy(key.asc(), F.col("doc_id").asc())
+    ranked = bk.withColumn("rank", (off_col + F.row_number().over(w)).cast("long"))
+    base, rem = divmod(total, n_phases)
+    head = rem * (base + 1)  # rows living in the base+1-sized leading tiles
+    phase = F.when(
+        F.col("rank") <= F.lit(head),
+        F.ceil(F.col("rank") / F.lit(max(base + 1, 1))),
+    ).otherwise(F.lit(rem) + F.ceil((F.col("rank") - F.lit(head)) / F.lit(max(base, 1))))
+    phase_start = F.when(
+        F.col("phase") <= F.lit(rem), (F.col("phase") - 1) * F.lit(base + 1)
+    ).otherwise(F.lit(head) + (F.col("phase") - 1 - F.lit(rem)) * F.lit(base))
+    return (
+        ranked.withColumn("phase", phase.cast("int"))
+        .withColumn("phase_pos", (F.col("rank") - phase_start).cast("long"))
+        .withColumn("order_key", _id_hash("doc_id", seed, op=OP_CURR))
+        .select(
+            "doc_id",
+            F.col("_s").alias(score_col),
+            "rank",
+            "phase",
+            "phase_pos",
+            "order_key",
+        )
     )

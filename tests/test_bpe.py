@@ -128,3 +128,40 @@ def test_pack_sequences_with_bpe_budget(spark):
     assert (pdf["bin_fill"] <= 64).all()
     assert (pdf.groupby(["shard", "bin_id"])["n_tok"].sum() <= 64).all()
     assert len(pdf) == 40
+
+
+def test_distributed_trainer_matches_driver(spark):
+    """The Spark trainer (Arrow Counter pre-agg -> vocab groupBy ->
+    driver merge loop) must be bit-identical to the in-memory trainer
+    on the same corpus — the merge loop is shared, so this pins the
+    distributed word-frequency stage."""
+    from proxyfeatureextraction_spark.functions.bpe import (
+        bpe_train,
+        train_bpe_merges_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    ).repartition(4)
+    ref = train_bpe_merges(CORPUS, 60)
+    got = train_bpe_merges_distributed(df, 60)
+    assert got == ref
+    tbl = bpe_train(df, 60)
+    assert [tuple(r) for r in tbl.orderBy("rank").select("left", "right").collect()] == ref
+
+
+def test_distributed_trainer_guards_and_pruning(spark):
+    from proxyfeatureextraction_spark.functions.bpe import (
+        corpus_word_freq,
+        train_bpe_merges_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_words"):
+        train_bpe_merges_distributed(df, 10, max_words=3)
+    # min_freq prunes the tail: strictly fewer surviving pre-tokens
+    all_rows = corpus_word_freq(df).count()
+    pruned = corpus_word_freq(df, min_freq=3).count()
+    assert 0 < pruned < all_rows

@@ -1452,3 +1452,173 @@ def test_epoch_schedule_negative_raises():
 
     with _pt.raises(ValueError):
         epoch_bounds(-0.1)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty / curriculum_order (round 5c)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_known_values(spark):
+    """Hand-computed bigram novelty on a 4-doc corpus with planned
+    overlap: earliest doc owns the gram, exact dup scores 0.0, short
+    doc scores (0, 0, 0.0)."""
+    from proxyfeatureextraction_spark.operators.curation import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),        # grams {ab, bc} — both first here
+            (1, "b c d"),        # {bc(old), cd(new)} -> 1/2
+            (2, "a b c"),        # exact dup -> 0/2
+            (3, "x"),            # < n words -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(df, n=2).collect()
+    }
+    assert rows[0] == (2, 2, 1.0)
+    assert rows[1] == (2, 1, 0.5)
+    assert rows[2] == (2, 0, 0.0)
+    assert rows[3] == (0, 0, 0.0)
+
+
+def test_ngram_novelty_repeated_gram_counted_once(spark):
+    """Within-doc repeats collapse (array_distinct): 'a b a b' has
+    3 bigram occurrences but 2 DISTINCT grams."""
+    from proxyfeatureextraction_spark.operators.curation import ngram_novelty
+
+    df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    r = ngram_novelty(df, n=2).collect()[0]
+    assert (r["n_grams"], r["n_novel"], r["novelty"]) == (2, 2, 1.0)
+
+
+def test_ngram_novelty_no_gram_keyed_join(spark):
+    """Scale shape: 'is this doc first?' must be answered by aggregates
+    (groupBy gram digest -> min doc, then groupBy winner -> count), not
+    a gram-keyed join back — at 100 TB the hot boilerplate gram would
+    funnel every holding doc through one join task. The only join key
+    allowed in the plan is doc_id; gram text must never ride an
+    exchange."""
+    from proxyfeatureextraction_spark.operators.curation import ngram_novelty
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = ngram_novelty(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    joins = re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^\n]*", plan)
+    assert joins, plan
+    assert all("doc_id" in j and "h#" not in j for j in joins), joins
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert not any("text#" in p or re.search(r"\bg#", p) for p in parts), parts
+
+
+def test_ngram_novelty_matches_python_replica(spark, docs_df=None):
+    """Differential: pandas/python replica over a 60-doc synthetic
+    corpus with heavy overlap, portable and xxhash64 paths both."""
+    from proxyfeatureextraction_spark.operators.curation import ngram_novelty
+
+    words = ["w%d" % (i % 17) for i in range(40)]
+    texts = [" ".join(words[(i * 3) % 13 : (i * 3) % 13 + 6 + i % 5]) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = 3
+    seen: dict[tuple, int] = {}
+    per_doc = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        grams = {tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)} if len(toks) >= n else set()
+        for g in grams:
+            seen.setdefault(g, i)
+        per_doc[i] = grams
+    for portable in (True, False):
+        rows = {
+            r["doc_id"]: (r["n_grams"], r["n_novel"])
+            for r in ngram_novelty(df, n=n, portable=portable).collect()
+        }
+        for i in range(60):
+            g = per_doc[i]
+            nov = sum(1 for x in g if seen[x] == i)
+            assert rows[i] == (len(g), nov), (portable, i, rows[i], (len(g), nov))
+
+
+def _curriculum_replica(pairs, n_phases, ascending=True):
+    """(id, score) -> {id: (rank, phase, phase_pos)} by definition."""
+    ordered = sorted(pairs, key=lambda p: (p[1] if ascending else -p[1], p[0]))
+    total = len(ordered)
+    base, rem = divmod(total, n_phases)
+    out = {}
+    for idx, (i, _s) in enumerate(ordered, start=1):
+        head = rem * (base + 1)
+        if idx <= head:
+            ph = (idx + base) // (base + 1)
+            start = (ph - 1) * (base + 1)
+        else:
+            ph = rem + -(-(idx - head) // max(base, 1))
+            start = head + (ph - 1 - rem) * base
+        out[i] = (idx, ph, idx - start)
+    return out
+
+
+def test_curriculum_order_exact_rank_and_ntile(spark):
+    """Exact global rank + NTILE phases vs the by-definition replica,
+    with duplicate scores crossing bucket boundaries; output invariant
+    to n_buckets (bucketing is an execution detail, not semantics)."""
+    from proxyfeatureextraction_spark.operators.curation import curriculum_order
+
+    pairs = [(i, float((i * 7) % 23)) for i in range(101)]  # heavy ties
+    df = spark.createDataFrame(pairs, "doc_id long, s double")
+    want = _curriculum_replica(pairs, 4)
+    ref = None
+    for nb in (2, 7, 16):
+        got = {
+            r["doc_id"]: (r["rank"], r["phase"], r["phase_pos"], r["order_key"])
+            for r in curriculum_order(df, "s", 4, seed=3, n_buckets=nb).collect()
+        }
+        assert {k: v[:3] for k, v in got.items()} == want
+        if ref is None:
+            ref = got
+        assert got == ref  # order_key included: fully invariant
+    # phase sizes: first rem phases carry one extra row
+    sizes = {}
+    for _r, ph, _p, _k in ref.values():
+        sizes[ph] = sizes.get(ph, 0) + 1
+    assert sizes == {1: 26, 2: 25, 3: 25, 4: 25}
+
+
+def test_curriculum_order_descending_and_errors(spark):
+    from proxyfeatureextraction_spark.operators.curation import curriculum_order
+
+    pairs = [(i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(pairs, "doc_id long, s double")
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in curriculum_order(df, "s", 3, ascending=False, n_buckets=3).collect()
+    }
+    assert got == {i: 10 - i for i in range(10)}
+    with pytest.raises(ValueError):
+        curriculum_order(df, "s", 0)
+
+
+def test_curriculum_order_no_global_window(spark):
+    """The classic global-rank trap is Window.orderBy(score) with no
+    partition keys — every row through one task. The plan must only
+    contain windows partitioned by the bucket column."""
+    from proxyfeatureextraction_spark.operators.curation import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(50)], "doc_id long, s double"
+    )
+    plan = (
+        curriculum_order(df, "s", 4, n_buckets=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    wins = re.findall(r"Window [^\n]*", plan)
+    assert wins, plan
+    # every Window node must carry a partition spec (no empty partitionBy)
+    for w in wins:
+        assert "_b#" in w, w
