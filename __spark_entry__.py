@@ -1897,6 +1897,34 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(d, 40, min_freq=2)
 
 
+def q_time_split_purged(spark, sf_dir):
+    """Purged walk-forward 3-fold CV with a 2h embargo (Lopez de Prado
+    2018 ch.7) over the events stream: per (row, fold) the row is
+    test / train / purged by pure range CASE — a 2-value min/max
+    collect + an n_folds-row broadcast crossJoin, zero shuffle."""
+    from proxyfeatureextraction_spark.operators.curation import time_split_purged
+
+    e = _events(spark, sf_dir)
+    return time_split_purged(
+        e, "tsec", 3, embargo=7200.0, keep_cols=["event_id"]
+    )
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index drift report on event values, first
+    time-half (reference) vs second (current): equal-width buckets
+    over the exact reference min/max, two n_buckets-row count
+    exchanges, nothing corpus-sized moves."""
+    from proxyfeatureextraction_spark.operators.curation import psi_drift
+
+    e = _events(spark, sf_dir)
+    lo, hi = e.select(F.min("tsec"), F.max("tsec")).first()
+    mid = (lo + hi) / 2.0
+    ref = e.where(F.col("tsec") < mid)
+    cur = e.where(F.col("tsec") >= mid)
+    return psi_drift(ref, cur, "value", n_buckets=8)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher rule-based quality signals (Rae et al. 2021 §A1.1.1):
     word stats, symbol/alpha ratios, stopword hits, bullet/ellipsis
@@ -2327,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "curriculum_order": q_curriculum_order,
         "bpe_train": q_bpe_train,
+        "time_split_purged": q_time_split_purged,
+        "psi_drift": q_psi_drift,
         "sample_weighted": q_sample_weighted,
         "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
@@ -3820,6 +3850,72 @@ def oracle_sql() -> dict[str, str]:
                CAST({_id_hash_sql('doc_id', seed=3, op=8)} AS BIGINT)
                  AS order_key
         FROM r
+        """,
+        "time_split_purged": """
+        WITH b AS (
+          SELECT min(epoch_us(ts) / 1e6) AS lo, max(epoch_us(ts) / 1e6) AS hi
+          FROM events
+        ),
+        f AS (
+          SELECT CAST(t.k AS INT) AS fold,
+                 lo + t.k * (hi - lo) / 3 AS f_lo,
+                 CASE WHEN t.k = 2 THEN hi + 1.0
+                      ELSE lo + (t.k + 1) * (hi - lo) / 3 END AS f_hi
+          FROM b, UNNEST(range(0, 3)) AS t(k)
+        )
+        SELECT f.fold,
+               CASE WHEN epoch_us(e.ts) / 1e6 >= f.f_lo
+                     AND epoch_us(e.ts) / 1e6 < f.f_hi THEN 'test'
+                    WHEN epoch_us(e.ts) / 1e6 < f.f_lo - 7200.0
+                      OR epoch_us(e.ts) / 1e6 >= f.f_hi + 7200.0 THEN 'train'
+                    ELSE 'purged' END AS role,
+               e.event_id
+        FROM events e CROSS JOIN f
+        """,
+        "psi_drift": """
+        WITH m AS (
+          SELECT (min(epoch_us(ts) / 1e6) + max(epoch_us(ts) / 1e6)) / 2
+                   AS mid
+          FROM events
+        ),
+        ref AS (SELECT value FROM events, m
+                WHERE epoch_us(ts) / 1e6 < mid AND value IS NOT NULL),
+        cur AS (SELECT value FROM events, m
+                WHERE epoch_us(ts) / 1e6 >= mid AND value IS NOT NULL),
+        b AS (SELECT min(value) AS lo,
+                     (max(value) - min(value)) / 8 AS w FROM ref),
+        rb AS (
+          SELECT CAST(least(greatest(floor((value - lo) / w), 0), 7) AS INT)
+                   AS bucket, count(*) AS n_ref
+          FROM ref, b GROUP BY 1
+        ),
+        cb AS (
+          SELECT CAST(least(greatest(floor((value - lo) / w), 0), 7) AS INT)
+                   AS bucket, count(*) AS n_cur
+          FROM cur, b GROUP BY 1
+        ),
+        j AS (
+          SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+                 coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb USING (bucket)
+        ),
+        p AS (
+          SELECT bucket, n_ref, n_cur,
+                 greatest(CAST(n_ref AS DOUBLE) / sum(n_ref) OVER (), 1e-6)
+                   AS p_ref,
+                 greatest(CAST(n_cur AS DOUBLE) / sum(n_cur) OVER (), 1e-6)
+                   AS p_cur
+          FROM j
+        )
+        SELECT bucket,
+               round(lo + bucket * w, 6) AS b_lo,
+               round(lo + (bucket + 1) * w, 6) AS b_hi,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round(p_ref, 6) AS p_ref,
+               round(p_cur, 6) AS p_cur,
+               round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi
+        FROM p, b
         """,
         "mix_corpus": f"""
         WITH c AS (

@@ -1566,3 +1566,135 @@ def curriculum_order(
             "order_key",
         )
     )
+
+
+def time_split_purged(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int,
+    embargo: float = 0.0,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Purged walk-forward k-fold assignment with embargo (Lopez de
+    Prado 2018, "Advances in Financial Machine Learning" ch. 7 —
+    purged k-fold CV): the time axis is cut into ``n_folds`` equal
+    ranges; for every (row, fold) pair the row is ``test`` if it lives
+    in the fold's range, ``train`` if it sits clear of the range by
+    more than ``embargo`` seconds on either side, and ``purged``
+    otherwise — the temporal twin of ``split_by_cluster``'s
+    leakage-safety rule (a feature window that OVERLAPS the test range
+    must reach neither split).  Returns one row per input row per
+    fold: ``(fold, role, <keep_cols...>)`` — the ×k fan-out is the
+    definition of k-fold, not an implementation artifact.
+
+    Scale shape: one 2-value min/max aggregate collects to the driver
+    and becomes range literals; the fold spec is an ``n_folds``-row
+    broadcast crossJoin; role is a pure JVM CASE — no shuffle at all
+    beyond the tiny broadcast, so the plan fuses into the scan and the
+    output can stream straight to a partitioned-by-fold sink.
+    Timestamps are compared in epoch seconds (``cast(double)`` =
+    DuckDB ``epoch()``), so ``embargo`` is in seconds.
+    """
+    if n_folds <= 0:
+        raise ValueError("n_folds must be positive")
+    if embargo < 0:
+        raise ValueError("embargo must be >= 0")
+    t = F.col(ts_col).cast("double")
+    lo, hi = df.select(F.min(t), F.max(t)).first()
+    if lo is None:
+        raise ValueError(f"{ts_col} has no non-null values")
+    width = (hi - lo) / n_folds or 1.0
+    spark = df.sparkSession
+    folds = spark.createDataFrame(
+        [
+            (k, lo + k * width, hi + 1.0 if k == n_folds - 1 else lo + (k + 1) * width)
+            for k in range(n_folds)
+        ],
+        "fold int, f_lo double, f_hi double",
+    )
+    keep = keep_cols or [c for c in df.columns if c != ts_col]
+    out = df.crossJoin(F.broadcast(folds))
+    in_fold = (t >= F.col("f_lo")) & (t < F.col("f_hi"))
+    clear = (t < F.col("f_lo") - F.lit(float(embargo))) | (
+        t >= F.col("f_hi") + F.lit(float(embargo))
+    )
+    role = (
+        F.when(in_fold, F.lit("test"))
+        .when(clear, F.lit("train"))
+        .otherwise(F.lit("purged"))
+    )
+    return out.select("fold", role.alias("role"), *keep)
+
+
+def psi_drift(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of one numeric column — the standard drift alarm a
+    training pipeline runs on every new corpus drop before mixing it
+    in (PSI < 0.1 stable / 0.1-0.25 drifting / > 0.25 shifted; the
+    credit-scoring heuristic, e.g. Yurdakul 2018).  Equal-width
+    buckets over the REFERENCE range (caller-pinnable via ``bounds``);
+    out-of-range current values clamp into the edge buckets; nulls are
+    excluded (profile them with ``profile_numeric``).  Returns one row
+    per bucket: ``(bucket, b_lo, b_hi, n_ref, n_cur, p_ref, p_cur,
+    psi)``, all floats rounded to 6; ``sum(psi)`` is the headline
+    index.
+
+    Scale shape: bucket bounds are two literals (one 2-value aggregate
+    on ref when not caller-supplied — exact min/max, NOT a quantile
+    sketch, so the SQL oracle is bit-identical); each side then runs
+    one map-side-partial ``groupBy(bucket).count`` whose exchange is
+    ≤ ``n_buckets`` rows; the full-outer bucket join is
+    ``n_buckets``-sized.  Nothing corpus-sized ever moves.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    v = F.col(col).cast("double")
+    if bounds is None:
+        lo, hi = df_ref.select(F.min(v), F.max(v)).first()
+        if lo is None:
+            raise ValueError(f"{col} has no non-null values in df_ref")
+    else:
+        lo, hi = float(bounds[0]), float(bounds[1])
+    width = (hi - lo) / n_buckets or 1.0
+
+    def _bucketed(d: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        return (
+            d.where(v.isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    r = _bucketed(df_ref, "n_ref")
+    c = _bucketed(df_cur, "n_cur")
+    tot_r = F.sum("n_ref").over(Window.partitionBy())  # n_buckets rows: safe
+    tot_c = F.sum("n_cur").over(Window.partitionBy())
+    j = (
+        r.join(c, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    p_ref = F.greatest(F.col("n_ref") / tot_r, F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / tot_c, F.lit(eps))
+    return j.select(
+        "bucket",
+        F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("b_lo"),
+        F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias("b_hi"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi"),
+    )

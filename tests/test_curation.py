@@ -1622,3 +1622,110 @@ def test_curriculum_order_no_global_window(spark):
     # every Window node must carry a partition spec (no empty partitionBy)
     for w in wins:
         assert "_b#" in w, w
+
+
+# ---------------------------------------------------------------------------
+# time_split_purged / psi_drift (round 5c)
+# ---------------------------------------------------------------------------
+
+
+def test_time_split_purged_roles(spark):
+    """3 folds over ts 0..30 (width 10), embargo 2: hand-checked roles
+    for boundary, interior, and embargo-zone rows against every fold."""
+    from proxyfeatureextraction_spark.operators.curation import time_split_purged
+
+    rows = [(i, float(t)) for i, t in enumerate([0, 5, 9, 11, 19, 21, 30])]
+    df = spark.createDataFrame(rows, "rid long, t double")
+    got = {
+        (r["fold"], r["rid"]): r["role"]
+        for r in time_split_purged(df, "t", 3, embargo=2.0).collect()
+    }
+    assert len(got) == 21  # 7 rows x 3 folds
+    # fold 0 covers [0,10): t=0,5,9 test; t=11 inside embargo (10+2) ->
+    # purged; t>=12 train
+    assert got[(0, 0)] == "test" and got[(0, 2)] == "test"
+    assert got[(0, 3)] == "purged"
+    assert got[(0, 4)] == "train" and got[(0, 6)] == "train"
+    # fold 1 covers [10,20): t=9 purged (>= 10-2), t=5 train,
+    # t=21 purged (< 20+2), t=30 train
+    assert got[(1, 2)] == "purged" and got[(1, 1)] == "train"
+    assert got[(1, 5)] == "purged" and got[(1, 6)] == "train"
+    # fold 2 covers [20, 30+1): max row is test, t=19 purged (>= 20-2)
+    assert got[(2, 6)] == "test" and got[(2, 4)] == "purged"
+    # every row is test in exactly ONE fold (the partition property)
+    from collections import Counter
+
+    tests = Counter(rid for (f, rid), role in got.items() if role == "test")
+    assert tests == Counter({i: 1 for i in range(7)})
+
+
+def test_time_split_purged_zero_embargo_and_errors(spark):
+    from proxyfeatureextraction_spark.operators.curation import time_split_purged
+
+    df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "rid long, t double")
+    got = {
+        (r["fold"], r["rid"]): r["role"]
+        for r in time_split_purged(df, "t", 2, embargo=0.0).collect()
+    }
+    # no purged rows with zero embargo: test or train everywhere
+    assert set(got.values()) == {"test", "train"}
+    with pytest.raises(ValueError):
+        time_split_purged(df, "t", 0)
+    with pytest.raises(ValueError):
+        time_split_purged(df, "t", 2, embargo=-1.0)
+
+
+def test_time_split_purged_no_shuffle(spark):
+    """The plan must be scan -> broadcast crossJoin -> project: no
+    Exchange hashpartitioning anywhere (the fold spec broadcasts)."""
+    from proxyfeatureextraction_spark.operators.curation import time_split_purged
+
+    df = spark.createDataFrame([(0, 1.0), (1, 5.0)], "rid long, t double")
+    plan = (
+        time_split_purged(df, "t", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """PSI == 0 for identical distributions; a clear mean shift pushes
+    the summed index over the 0.25 'shifted' threshold; counts land in
+    the right equal-width buckets (hand-checked)."""
+    from proxyfeatureextraction_spark.operators.curation import psi_drift
+    import math
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "v double"
+    )
+    same = psi_drift(ref, ref, "v", n_buckets=5).collect()
+    assert all(r["psi"] == 0.0 for r in same)
+    assert {r["bucket"]: r["n_ref"] for r in same} == {i: 20 for i in range(5)}
+    # ref range is [0,9]; shifted sample sits at the top edge
+    cur = spark.createDataFrame(
+        [(9.0,) for _ in range(100)], "v double"
+    )
+    shifted = psi_drift(ref, cur, "v", n_buckets=5).collect()
+    assert sum(r["psi"] for r in shifted) > 0.25
+    # all current mass clamps into the LAST bucket
+    by_b = {r["bucket"]: r["n_cur"] for r in shifted}
+    assert by_b[4] == 100 and sum(by_b.values()) == 100
+    # python replica of one bucket's psi term
+    r0 = next(r for r in shifted if r["bucket"] == 0)
+    p_ref, p_cur = 20 / 100, 1e-6
+    want = round((p_cur - p_ref) * math.log(p_cur / p_ref), 6)
+    assert r0["psi"] == want
+
+
+def test_psi_drift_bounds_and_errors(spark):
+    from proxyfeatureextraction_spark.operators.curation import psi_drift
+
+    ref = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    cur = spark.createDataFrame([(5.0,), (None,)], "v double")
+    rows = psi_drift(ref, cur, "v", n_buckets=2, bounds=(0.0, 4.0)).collect()
+    # caller bounds pin the buckets: [0,2) and [2,4]; 5.0 clamps into
+    # bucket 1; the null is excluded
+    by_b = {r["bucket"]: (r["n_ref"], r["n_cur"]) for r in rows}
+    assert by_b == {0: (1, 0), 1: (1, 1)}
+    with pytest.raises(ValueError):
+        psi_drift(ref, cur, "v", n_buckets=0)
