@@ -104,6 +104,10 @@ def main() -> None:
         "ppl_buckets", "domain_temperature", "tfidf_allpairs",
         "corpus_diff", "contamination_report", "token_histogram",
         "bloom_decontaminate", "collocations_pmi", "dedup_keep_best",
+        # round-5c additions
+        "split_by_cluster", "kcenter_select", "sample_stratified",
+        "epoch_schedule", "embedding_pca", "ngram_novelty",
+        "curriculum_order", "bpe_train", "time_split_purged", "psi_drift",
     ]
     extras: dict[str, float] = {}
     for name in extra:

@@ -238,3 +238,86 @@ def stream_curate_docs(
     return stream_dedup_exact(
         scored, watermark=watermark, ts_col="_ts", text_col="text"
     ).withColumnRenamed("_ts", ts_col)
+
+
+def stream_psi_drift(
+    stream: DataFrame,
+    ref: DataFrame,
+    col: str,
+    ts_col: str,
+    n_buckets: int = 10,
+    window: str = "10 minutes",
+    watermark: str | None = None,
+    bounds: tuple[float, float] | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Streaming drift alarm: Population Stability Index of ``col``
+    against a static reference distribution, one row per event-time
+    window — the ingest-time twin of batch ``curation.psi_drift``
+    (same buckets, same eps-smoothed p·ln formula), so a pipeline can
+    page on a drifting corpus drop BEFORE the nightly batch report.
+
+    Streaming-safety shape: everything reference-sided happens ONCE at
+    plan-build time on the static frame (bucket bounds from exact
+    min/max, per-bucket fractions collected — ≤ ``n_buckets`` tiny
+    rows) and enters the plan as literals; the stream side is ONE
+    windowed aggregation whose state is a single row of ``n_buckets``
+    counters per open window (the per-bucket counts are pivoted into
+    columns of one agg — NOT a second aggregation over a streaming
+    aggregate, which Spark rejects, and not a stream-static join after
+    the agg, which append mode restricts).  PSI is then pure column
+    arithmetic on the closed window's row.  Works identically on a
+    static frame (the parity tests drive both from the same parquet).
+
+    With ``watermark`` set, append-mode sinks emit each window's PSI
+    once the watermark passes it; state is dropped, so an infinite
+    stream holds O(open windows × n_buckets) counters.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    v = F.col(col).cast("double")
+    if bounds is None:
+        lo, hi = ref.select(F.min(v), F.max(v)).first()
+        if lo is None:
+            raise ValueError(f"{col} has no non-null values in ref")
+    else:
+        lo, hi = float(bounds[0]), float(bounds[1])
+    width = (hi - lo) / n_buckets or 1.0
+    b_expr = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    rc = {
+        r["b"]: r["n"]
+        for r in ref.where(v.isNotNull())
+        .groupBy(b_expr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tot_ref = sum(rc.values())
+    p_ref = [max(rc.get(i, 0) / tot_ref, eps) for i in range(n_buckets)]
+
+    src = stream
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    agg = (
+        src.where(v.isNotNull())
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            *[
+                F.sum(F.when(b_expr == i, 1).otherwise(0)).alias(f"_c{i}")
+                for i in range(n_buckets)
+            ]
+        )
+    )
+    total = sum(F.col(f"_c{i}") for i in range(n_buckets))
+    psi = F.lit(0.0)
+    for i in range(n_buckets):
+        p_cur = F.greatest(F.col(f"_c{i}") / total, F.lit(eps))
+        psi = psi + (p_cur - F.lit(p_ref[i])) * F.log(p_cur / F.lit(p_ref[i]))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        total.cast("long").alias("n_cur"),
+        F.round(psi, 6).alias("psi"),
+    )

@@ -4,6 +4,7 @@ same results whether driven by readStream (memory sink) or batch."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from proxyfeatureextraction_spark import schema as S
@@ -362,3 +363,105 @@ def test_stream_curate_near_dup_guard(spark, tmp_path):
         .collect()
     )
     assert kept == [3, 4]
+
+
+def test_stream_psi_drift_matches_batch_and_alarms(spark, tmp_path):
+    """Windowed streaming PSI vs the batch twin on the same parquet:
+    window 1 replays the reference distribution (psi ~ 0), window 2 is
+    shifted (psi over the 0.25 alarm threshold); stream results equal
+    running the same function on the static frame."""
+    import datetime as dt
+
+    from proxyfeatureextraction_spark.streaming.stream_features import (
+        run_to_memory,
+        stream_psi_drift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(minute, values):
+        return [
+            (t0 + dt.timedelta(minutes=minute, seconds=i % 60), float(v))
+            for i, v in enumerate(values)
+        ]
+
+    ref_vals = [i % 10 for i in range(200)]
+    cur1 = rows(0, [i % 10 for i in range(100)])      # same shape
+    cur2 = rows(10, [9.0] * 100)                       # mass at top edge
+    ref = spark.createDataFrame([(float(v),) for v in ref_vals], "v double")
+    data = spark.createDataFrame(cur1 + cur2, "ts timestamp, v double")
+    path = str(tmp_path / "psi_src")
+    data.repartition(2).write.parquet(path)
+
+    static = spark.read.parquet(path)
+    batch = {
+        r["window_start"]: (r["n_cur"], r["psi"])
+        for r in stream_psi_drift(
+            static, ref, "v", "ts", n_buckets=5, window="10 minutes"
+        ).collect()
+    }
+    assert len(batch) == 2
+    (w1, w2) = sorted(batch)
+    assert batch[w1][0] == 100 and batch[w2][0] == 100
+    assert abs(batch[w1][1]) < 0.01          # same distribution
+    assert batch[w2][1] > 0.25               # shifted: alarm zone
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(path)
+    run_to_memory(
+        stream_psi_drift(
+            stream, ref, "v", "ts", n_buckets=5, window="10 minutes",
+            watermark="1 minute",
+        ),
+        "psi_stream",
+    )
+    got = {
+        r["window_start"]: (r["n_cur"], r["psi"])
+        for r in spark.sql("select * from psi_stream").collect()
+    }
+    assert got == batch
+
+
+def test_stream_psi_drift_matches_batch_psi_operator(spark):
+    """The summed per-bucket psi from curation.psi_drift equals the
+    single-window stream_psi_drift figure on identical inputs (same
+    buckets, same eps) — the two surfaces must not drift apart."""
+    import datetime as dt
+
+    from proxyfeatureextraction_spark.operators.curation import psi_drift
+    from proxyfeatureextraction_spark.streaming.stream_features import (
+        stream_psi_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 7),) for i in range(140)], "v double"
+    )
+    cur_vals = [float((i * 3) % 9) for i in range(90)]
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "v double")
+    batch_total = sum(
+        r["psi"] for r in psi_drift(ref, cur, "v", n_buckets=7).collect()
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    timed = spark.createDataFrame(
+        [(t0, v) for v in cur_vals], "ts timestamp, v double"
+    )
+    got = stream_psi_drift(
+        timed, ref, "v", "ts", n_buckets=7, window="60 minutes"
+    ).collect()
+    assert len(got) == 1
+    # batch rounds per-bucket then sums; stream sums then rounds — the
+    # residue is bounded by n_buckets x 5e-7
+    assert abs(got[0]["psi"] - batch_total) < 5e-6
+
+
+def test_stream_psi_drift_errors(spark):
+    from proxyfeatureextraction_spark.streaming.stream_features import (
+        stream_psi_drift,
+    )
+
+    ref = spark.createDataFrame([(1.0,)], "v double")
+    df = spark.createDataFrame([], "ts timestamp, v double")
+    with pytest.raises(ValueError):
+        stream_psi_drift(df, ref, "v", "ts", n_buckets=0)
+    empty_ref = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError):
+        stream_psi_drift(df, empty_ref, "v", "ts")
