@@ -1865,10 +1865,12 @@ def q_ngram_novelty(spark, sf_dir):
     """Per-doc 8-gram novelty fraction (earliest-occurrence share, Lee
     2021 memorization proxy): array_distinct inside the row, two
     map-side-partial aggregates, no gram-keyed join — full value
-    oracle on the shared polynomial gram hash."""
+    oracle on the shared polynomial gram hash. Runs on LINE-INJECTED
+    docs so the \\s+ word split is exercised across newline
+    boundaries (the oracle regex-splits identically)."""
     from proxyfeatureextraction_spark.operators.curation import ngram_novelty
 
-    d = _table(spark, sf_dir, "documents")
+    d = _docs_with_lines(spark, sf_dir)
     return ngram_novelty(d, n=8)
 
 
@@ -3809,10 +3811,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "epoch_schedule": _epoch_schedule_oracle(),
         "ngram_novelty": f"""
-        WITH toks AS (
-          SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
-                                     w -> length(w) > 0) AS a
-          FROM documents
+        WITH di AS (
+          SELECT doc_id, {_INJECT_LINES_SQL} AS text FROM documents
+        ),
+        toks AS (
+          -- regex split matches the Spark side's \\s+ (newlines/tabs
+          -- are separators, not token bytes) — a plain single-space
+          -- split silently diverges on any multi-line text
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                             w -> length(w) > 0) AS a
+          FROM di
         ),
         dg AS (
           SELECT DISTINCT doc_id,

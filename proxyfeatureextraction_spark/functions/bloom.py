@@ -87,7 +87,12 @@ def bloom_build(
     partially combines map-side — the exchange carries at most
     ``m_bits / 32`` rows per task regardless of input size.
     """
-    hs = df.select(portable_word_hash(F.col(key_col)).alias("_bh"))
+    # NULL-safe: NULL keys hash as '' on BOTH build and probe sides,
+    # so every row gets a decidable boolean verdict (a NULL hash would
+    # silently drop out of the explode and come back as maybe=NULL)
+    hs = df.select(
+        portable_word_hash(F.coalesce(F.col(key_col), F.lit(""))).alias("_bh")
+    )
     return _bloom_build_hashes(hs, m_bits, k)
 
 
@@ -133,7 +138,9 @@ def bloom_probe(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    keyed = df.withColumn("_bh", portable_word_hash(F.col(key_col)))
+    keyed = df.withColumn(
+        "_bh", portable_word_hash(F.coalesce(F.col(key_col), F.lit("")))
+    )
     verdicts = _probe_hashes(keyed.select("_bh").distinct(), bloom, m_bits, k)
     return keyed.join(verdicts, "_bh", "left").drop("_bh")
 

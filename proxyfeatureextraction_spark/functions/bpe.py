@@ -292,7 +292,6 @@ def corpus_word_freq(
     df: DataFrame,
     text_col: str = "text",
     min_freq: int = 1,
-    max_words: int = 2_000_000,
 ) -> DataFrame:
     """Corpus-scale pre-token frequency table ``(pretoken, freq)`` —
     the distributed (100 TB) half of BPE training.  Pre-tokenization
@@ -306,10 +305,10 @@ def corpus_word_freq(
     near the vocabulary size, not the corpus size.  One
     ``groupBy(pretoken).sum`` (map-side partial) finishes the count.
 
-    ``min_freq`` prunes the long tail BEFORE any driver collect;
-    ``max_words`` is the fail-fast bound the collect in
-    ``train_bpe_merges_distributed`` checks against (same guarded-
-    collect convention as the exact-Jaccard baseline).
+    ``min_freq`` prunes the long tail BEFORE any driver collect; the
+    fail-fast row bound lives at the one place a collect happens
+    (``train_bpe_merges_distributed``'s guarded ``limit`` collect) —
+    this helper itself returns an ordinary unbounded DataFrame.
     """
     import pandas as pd
 
@@ -359,15 +358,18 @@ def train_bpe_merges_distributed(
     fail-fast guarded at ``max_words`` rows; raise ``min_freq`` (every
     real tokenizer does) rather than the cap.
     """
-    wf = corpus_word_freq(df, text_col, min_freq=min_freq, max_words=max_words)
-    n = wf.count()
-    if n > max_words:
+    wf = corpus_word_freq(df, text_col, min_freq=min_freq)
+    # single-pass guarded collect: limit(max+1) bounds what can reach
+    # the driver AND detects overflow without a second execution of the
+    # corpus aggregation (a count() + collect() pair runs the job twice)
+    rows = wf.limit(max_words + 1).collect()
+    if len(rows) > max_words:
         raise ValueError(
-            f"word-frequency table has {n} rows > max_words={max_words}; "
+            f"word-frequency table exceeds max_words={max_words}; "
             f"raise min_freq (tail pruning) or max_words"
         )
     word_freq: dict[tuple[str, ...], int] = {}
-    for r in wf.collect():
+    for r in rows:
         w = _byte_symbols(r["pretoken"])
         if len(w) > 1:
             word_freq[w] = word_freq.get(w, 0) + int(r["freq"])

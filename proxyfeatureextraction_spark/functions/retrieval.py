@@ -33,11 +33,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col) -> "F.Column":
-    col = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(
-        F.split(F.coalesce(col, F.lit("")), " "), lambda w: F.length(w) > 0
-    )
+from proxyfeatureextraction_spark.functions.text import (
+    tokens as _tokens,  # the shared null-safe space tokenizer
+)
 
 
 def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

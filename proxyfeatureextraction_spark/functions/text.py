@@ -22,8 +22,15 @@ BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 FINGERPRINT_MOD = 1_000_000_007
 
 
-def tokens(text_col: str = "text") -> Column:
-    return F.filter(F.split(text_col, " "), lambda w: F.length(w) > 0)
+def tokens(text_col: str | Column = "text") -> Column:
+    """Null-safe single-space word split (NULL text → zero tokens) —
+    THE shared tokenizer for every space-split operator (retrieval,
+    LM scoring, NB classifier, histograms); keep one form so gram
+    families can't drift apart."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), " "), lambda w: F.length(w) > 0
+    )
 
 
 def token_count(text_col: str = "text") -> Column:

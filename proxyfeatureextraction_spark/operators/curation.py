@@ -308,7 +308,12 @@ def sample_stratified(
     hash-partition exchange + per-group sort ``sample_per_group`` costs.
     Heavy strata cost O(group log group) in their own sort; no stratum's
     rows ever visit the driver.
+
+    Rows with a NULL stratum are DROPPED (same policy as ``mix_corpus``:
+    NULL can't be a ``create_map`` key, and an unnameable stratum has no
+    defensible quota) — profile them first if they matter.
     """
+    df = df.where(F.col(group_col).isNotNull())
     counts = {
         r["_g"]: r["_n"]
         for r in df.groupBy(F.col(group_col).alias("_g"))

@@ -131,14 +131,21 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     hottest bucket — exactly the rows the guard exists to protect
     against — through a single task before any can be dropped. The
     aggregate form partials on the map side, and the anti-join's build
-    side holds only the (rare, tiny) over-cap keys."""
+    side holds only the (rare, tiny) over-cap keys.
+
+    The input feeds BOTH the aggregate and the anti-join probe, so it
+    is persisted first — otherwise the upstream signature subtree
+    (tokenize → hash → permute → explode, the dominant map-side cost
+    of every caller) executes twice. What's cached is the digest-row
+    table the guard inspects (ints, never text)."""
+    src = df.persist()
     hot = (
-        df.groupBy(*keys)
+        src.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > cap)
         .select(*keys)
     )
-    return df.join(hot, keys, "left_anti")
+    return src.join(hot, keys, "left_anti")
 
 
 def exact_dedup(

@@ -547,7 +547,13 @@ def semantic_dedup(
         for cell, v in upd.items():
             new[cell] = v
         cn = _unit_rows(new)
-    assigned = _assign_cells(base, cn, round_digits)
+    # persist: the final assignment feeds THREE consumers (the cell-size
+    # guard, the per-cell pair kernel, and the labeled output join) —
+    # without it each consumer re-executes the Arrow cosine-assignment
+    # kernel over every embedding. The working set is (id, vec, cell),
+    # the same materialization the SemDeDup paper's pipeline keeps
+    # between its clustering and dedup stages.
+    assigned = _assign_cells(base, cn, round_digits).persist()
 
     # cells over max_cell skip pair generation (the O(cell²) kernel
     # would be degenerate there), but their members MUST NOT silently

@@ -143,3 +143,24 @@ def test_probe_plan_broadcast_and_jvm_only(spark, keys_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_null_key_decidable(spark):
+    """A NULL key must still yield a boolean verdict: NULL hashes as
+    '' on BOTH build and probe sides (a NULL hash would fall out of
+    the position explode and come back as maybe=NULL, silently
+    slipping past a ~maybe filter)."""
+    from proxyfeatureextraction_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    built = spark.createDataFrame([(None,), ("x",)], "key string")
+    probe = spark.createDataFrame(
+        [(None,), ("x",), ("unseen-key-zzz",)], "key string"
+    )
+    bloom = bloom_build(built, m_bits=1024, k=3)
+    got = {r["key"]: r["maybe"] for r in bloom_probe(probe, bloom, 1024, 3).collect()}
+    assert got[None] is True          # '' was inserted (via the NULL row)
+    assert got["x"] is True
+    assert got["unseen-key-zzz"] is False  # boolean, never NULL

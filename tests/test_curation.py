@@ -1729,3 +1729,33 @@ def test_psi_drift_bounds_and_errors(spark):
     assert by_b == {0: (1, 0), 1: (1, 1)}
     with pytest.raises(ValueError):
         psi_drift(ref, cur, "v", n_buckets=0)
+
+
+def test_sample_stratified_null_stratum_dropped(spark):
+    """NULL strata can't key a create_map or an allocation quota —
+    they are dropped (mix_corpus policy), not crashed on."""
+    from proxyfeatureextraction_spark.operators.curation import sample_stratified
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, None), (3, "b"), (4, "b")],
+        "doc_id long, g string",
+    )
+    got = sample_stratified(df, "g", 4).collect()
+    assert all(r["g"] is not None for r in got)
+    assert len(got) == 4  # quota filled from the non-null strata
+
+
+def test_token_histogram_null_text_bucket_one(spark):
+    """NULL text counts as zero tokens -> bucket 1 with tok_sum 0
+    (the shared tokenizer is null-safe), matching the oracle's
+    coalesce instead of emitting a NULL bucket row."""
+    from proxyfeatureextraction_spark.operators.curation import token_histogram
+
+    df = spark.createDataFrame(
+        [(0, "s1", None), (1, "s1", "one two")],
+        "doc_id long, source string, text string",
+    )
+    rows = {(r["grp"], r["bucket"]): (r["n_docs"], r["tok_sum"])
+            for r in token_histogram(df).collect()}
+    assert rows[("s1", 1)] == (1, 0)
+    assert rows[("s1", 2)] == (1, 2)
