@@ -1927,6 +1927,46 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(ref, cur, "value", n_buckets=8)
 
 
+def q_robust_scale(spark, sf_dir):
+    """Median/IQR robust scaling of the event value column: one exact-
+    percentile aggregation pass collected as literals, then a narrow
+    projection — sklearn RobustScaler semantics, oracle-exact via the
+    percentile == quantile_cont equivalence."""
+    from proxyfeatureextraction_spark.operators.curation import robust_scale
+
+    e = _events(spark, sf_dir).select("event_id", "value")
+    return robust_scale(e, ["value"])
+
+
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal Rank Fusion (Cormack 2009) of two top-100 document
+    rankings (shortest-first length rank ⊕ seeded hash rank): union of
+    slim (id, rank) projections, one map-side-partial sum, top-50 via
+    TakeOrderedAndProject — the hybrid-retrieval merge."""
+    from pyspark.sql import Window
+
+    from proxyfeatureextraction_spark.operators.curation import (
+        OP_CURR,
+        _id_hash,
+        rrf_fuse,
+    )
+
+    d = _table(spark, sf_dir, "documents")
+    ra = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars"), F.col("doc_id")))
+        .alias("rank"),
+    ).where(F.col("rank") <= 100)
+    rb = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(_id_hash("doc_id", 9, op=OP_CURR), F.col("doc_id")))
+        .alias("rank"),
+    ).where(F.col("rank") <= 100)
+    return rrf_fuse([ra, rb], top_k=50)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher rule-based quality signals (Rae et al. 2021 §A1.1.1):
     word stats, symbol/alpha ratios, stopword hits, bullet/ellipsis
@@ -2359,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "time_split_purged": q_time_split_purged,
         "psi_drift": q_psi_drift,
+        "robust_scale": q_robust_scale,
+        "rrf_fuse": q_rrf_fuse,
         "sample_weighted": q_sample_weighted,
         "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
@@ -3859,6 +3901,41 @@ def oracle_sql() -> dict[str, str]:
                CAST({_id_hash_sql('doc_id', seed=3, op=8)} AS BIGINT)
                  AS order_key
         FROM r
+        """,
+        "robust_scale": """
+        WITH s AS (
+          SELECT quantile_cont(value, 0.5) AS med,
+                 quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+                   AS iqr
+          FROM events
+        )
+        SELECT event_id, value,
+               round((value - med) / (CASE WHEN iqr = 0 THEN 1.0
+                                           ELSE iqr END), 6)
+                 AS value_scaled
+        FROM events, s
+        """,
+        "rrf_fuse": f"""
+        WITH ra AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+          FROM documents QUALIFY rank <= 100
+        ),
+        rb AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY {_id_hash_sql('doc_id', seed=9, op=8)}, doc_id
+                 ) AS rank
+          FROM documents QUALIFY rank <= 100
+        ),
+        u AS (
+          SELECT doc_id, 1.0 / (60 + rank) AS c FROM ra
+          UNION ALL
+          SELECT doc_id, 1.0 / (60 + rank) AS c FROM rb
+        )
+        SELECT doc_id, round(sum(c), 6) AS rrf_score
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 50
         """,
         "time_split_purged": """
         WITH b AS (

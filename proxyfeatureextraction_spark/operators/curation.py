@@ -1703,3 +1703,98 @@ def psi_drift(
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi"),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    cols: list[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Median/IQR robust scaling of numeric feature columns —
+    ``(v - median) / (p75 - p25)`` per column, the outlier-immune
+    standardization (sklearn's RobustScaler semantics) a feature
+    table gets before clustering/quantile models; constant-IQR
+    columns divide by 1 instead of exploding.  Appends
+    ``{col}_scaled`` (rounded to ``round_digits``) for each input
+    column; NULL values stay NULL.
+
+    Scale shape: ONE aggregation pass computes every column's
+    (median, p25, p75) simultaneously (exact ``percentile`` — the
+    same Spark↔DuckDB ``quantile_cont`` equivalence
+    ``profile_numeric`` leans on; swap ``approx_percentile`` in at
+    the 100 TB point if the sort state bites), the 1-row result
+    collects to the driver, and the scaling itself is a narrow
+    projection of literals — no join, no second shuffle.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}__med"),
+            F.expr(f"percentile(`{c}`, 0.25)").alias(f"{c}__p25"),
+            F.expr(f"percentile(`{c}`, 0.75)").alias(f"{c}__p75"),
+        ]
+    stats = df.agg(*aggs).first()
+    out = df
+    for c in cols:
+        med = stats[f"{c}__med"]
+        if med is None:
+            raise ValueError(f"{c} has no non-null values")
+        iqr = stats[f"{c}__p75"] - stats[f"{c}__p25"]
+        out = out.withColumn(
+            f"{c}_scaled",
+            F.round(
+                (F.col(c).cast("double") - F.lit(med)) / F.lit(iqr or 1.0),
+                round_digits,
+            ),
+        )
+    return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): combine N
+    independent rankings of the same id space into one score,
+    ``sum_i 1 / (k0 + rank_i)`` — the standard hybrid-retrieval merge
+    (BM25 ⊕ embedding cosine ⊕ recency …) that needs no score
+    calibration between systems.  Ids absent from a ranking simply
+    contribute nothing for it (the practical top-k-lists case).
+    Returns ``(id_col, rrf_score round-6)``; with ``top_k`` the
+    result is the k best by ``(score desc, id)``.
+
+    Scale shape: union of the slim ``(id, rank)`` projections → ONE
+    map-side-partial sum aggregate keyed on the id; no join grows
+    with the number of systems.  ``top_k`` plans as
+    TakeOrderedAndProject (per-partition heads + driver merge of k),
+    never a global sort; without it the caller orders at the sink.
+    The deliberately absent global dense ranking output is the
+    single-partition ``Window.orderBy`` trap — use
+    ``curriculum_order``'s bucketed exact-rank machinery if a total
+    rank column is genuinely needed.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k0 <= 0:
+        raise ValueError("k0 must be positive")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k0) + F.col(rank_col).cast("double"))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    out = u.groupBy(id_col).agg(
+        F.round(F.sum("_c"), 6).alias("rrf_score")
+    )
+    if top_k is not None:
+        return out.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(top_k)
+    return out

@@ -1759,3 +1759,74 @@ def test_token_histogram_null_text_bucket_one(spark):
             for r in token_histogram(df).collect()}
     assert rows[("s1", 1)] == (1, 0)
     assert rows[("s1", 2)] == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# robust_scale / rrf_fuse (round 5c)
+# ---------------------------------------------------------------------------
+
+
+def test_robust_scale_values_and_nulls(spark):
+    """Hand-computed median/IQR scaling: values 0..8 -> med 4, IQR 4;
+    NULLs pass through; constant column divides by 1."""
+    from proxyfeatureextraction_spark.operators.curation import robust_scale
+
+    df = spark.createDataFrame(
+        [(i, float(i), 7.0) for i in range(9)] + [(9, None, 7.0)],
+        "rid long, v double, k double",
+    )
+    rows = {r["rid"]: (r["v_scaled"], r["k_scaled"])
+            for r in robust_scale(df, ["v", "k"]).collect()}
+    assert rows[0] == (-1.0, 0.0)   # (0-4)/4 ; (7-7)/1
+    assert rows[4] == (0.0, 0.0)
+    assert rows[8] == (1.0, 0.0)
+    assert rows[9] == (None, 0.0)   # NULL stays NULL
+    with pytest.raises(ValueError):
+        robust_scale(df, [])
+    with pytest.raises(ValueError):
+        robust_scale(df.select("rid", df.v.cast("double").alias("n")).where("n is null"), ["n"])
+
+
+def test_robust_scale_single_agg_pass(spark):
+    """All columns' percentiles come from ONE aggregate (no per-column
+    scans): exactly one Aggregate in the optimized stats plan and the
+    output plan is a pure Project over the scan."""
+    from proxyfeatureextraction_spark.operators.curation import robust_scale
+
+    df = spark.createDataFrame([(0, 1.0, 2.0)], "rid long, a double, b double")
+    plan = robust_scale(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_rrf_fuse_known_values_and_missing_ids(spark):
+    """RRF on two 3-item rankings with a partial overlap: fused scores
+    match the 1/(60+r) hand sum; ids missing from one ranking get only
+    the other's contribution; top_k orders by (score desc, id)."""
+    from proxyfeatureextraction_spark.operators.curation import rrf_fuse
+
+    ra = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    rb = spark.createDataFrame([(2, 1), (1, 2), (9, 3)], "doc_id long, rank int")
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([ra, rb]).collect()}
+    assert got[1] == round(1 / 61 + 1 / 62, 6)
+    assert got[2] == round(1 / 62 + 1 / 61, 6)
+    assert got[3] == round(1 / 63, 6)
+    assert got[9] == round(1 / 63, 6)
+    top = rrf_fuse([ra, rb], top_k=3).collect()
+    assert [r["doc_id"] for r in top] == [1, 2, 3]  # tie 3 vs 9 -> lower id
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([ra], k0=0)
+
+
+def test_rrf_fuse_no_global_sort_without_topk(spark):
+    """Without top_k the plan must contain no global Sort/Exchange
+    rangepartitioning (the caller orders at the sink); with top_k it
+    plans TakeOrderedAndProject, never a full sort."""
+    from proxyfeatureextraction_spark.operators.curation import rrf_fuse
+
+    ra = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    plan = rrf_fuse([ra])._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan and "Sort " not in plan, plan
+    plan_k = rrf_fuse([ra], top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan_k, plan_k
