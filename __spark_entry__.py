@@ -1169,6 +1169,55 @@ def _kcenter_oracle(k: int = 8) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+def _mmr_oracle(k: int = 8, lam: float = 0.7) -> str:
+    """DuckDB twin of similarity.mmr_select: the k greedy MMR rounds
+    UNROLLED as argmax-pick + smax-update CTE pairs (same pattern as
+    ``_kcenter_oracle``); relevance = (vec_id % 97) / 97.0, smax init 0
+    so round 0 falls out of the same argmax rule."""
+    dot = "list_sum(list_transform(list_zip(c.u, p.u), z -> z[1] * z[2]))"
+    obj = f"({lam!r} * rel - {1.0 - lam!r} * smax)"
+    parts = [
+        "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, (vec_id % 97) / 97.0 AS rel FROM embeddings)",
+        "en AS (SELECT vec_id, v, rel, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e0)",
+        "c0 AS (SELECT vec_id, list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS u, rel, CAST(0.0 AS DOUBLE) AS smax FROM en)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"p{i} AS (SELECT vec_id, u, rel, smax, {obj} AS m FROM c{i}"
+            f" ORDER BY m DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c.vec_id, c.u, c.rel,"
+            f" greatest(c.smax, {dot}) AS smax"
+            f" FROM c{i} c, p{i} p WHERE c.vec_id <> p.vec_id)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS rk, vec_id, round(m, 6) AS mmr FROM p{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def q_mmr_select(spark, sf_dir):
+    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    Goldstein 1998), k=8, λ=0.7 over the embeddings table with a
+    deterministic relevance score ((vec_id %% 97)/97): selection order
+    + the λ·rel − (1−λ)·max-cos-to-selected objective at each pick.
+    Oracle: the 8 greedy rounds unrolled as argmax + smax-update CTE
+    pairs — same pattern as kcenter_select."""
+    from proxyfeatureextraction_spark.operators.similarity import mmr_select
+
+    e = _table(spark, sf_dir, "embeddings").withColumn(
+        "rel", (F.col("vec_id") % 97) / F.lit(97.0)
+    )
+    out = mmr_select(e, k=8, score_col="rel", lam=0.7)
+    return out.select(
+        F.col("rank").alias("rk"),
+        F.col("id").alias("vec_id"),
+        _R6(F.col("mmr"), "mmr"),
+    )
+
+
 def q_kcenter_select(spark, sf_dir):
     """Greedy k-center coreset selection (Gonzalez 1985 farthest-point;
     Sener & Savarese 2018 core-set data selection), k=8 over the
@@ -2364,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "shuffle_shards": q_shuffle_shards,
         "kcenter_select": q_kcenter_select,
+        "mmr_select": q_mmr_select,
         "curate_corpus": q_curate_corpus,
         "semantic_dedup": q_semantic_dedup,
         # -- new round-5 operators: first driver rows ---------------------
@@ -3124,6 +3174,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, neighbor, cos_r AS cosine, rk FROM r WHERE rk <= 5
         """,
         "kcenter_select": _kcenter_oracle(8),
+        "mmr_select": _mmr_oracle(8, 0.7),
         "embedding_dup_pairs": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),

@@ -108,7 +108,7 @@ def main() -> None:
         "split_by_cluster", "kcenter_select", "sample_stratified",
         "epoch_schedule", "embedding_pca", "ngram_novelty",
         "curriculum_order", "bpe_train", "time_split_purged", "psi_drift",
-        "robust_scale", "rrf_fuse",
+        "robust_scale", "rrf_fuse", "mmr_select",
     ]
     extras: dict[str, float] = {}
     for name in extra:

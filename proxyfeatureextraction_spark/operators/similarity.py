@@ -838,3 +838,105 @@ def embedding_pca(
         )
     )
     return out
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int,
+    score_col: str,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    Goldstein 1998): pick ``k`` items maximizing
+    ``λ·relevance − (1−λ)·max_cosine_to_already_selected`` — the
+    relevance-aware sibling of ``kcenter_select`` (pure diversity) and
+    the standard diversified-retrieval / few-shot-example-selection
+    rule.  ``λ=1`` degenerates to top-k by score, ``λ=0`` to a
+    farthest-point-style spread.
+
+    Returns ``(rank, id, mmr)`` — selection order and the objective
+    value at pick time.  Every row starts at ``smax = 0`` (max cosine
+    to the empty selected set), so round 0 falls out of the same
+    argmax rule as pure relevance; each round picks
+    ``argmax(λ·rel − (1−λ)·smax, ties → lowest id)`` then updates
+    ``smax := max(smax, ⟨u, u_pick⟩)`` on unit vectors (zero-norm rows
+    stay zero vectors: similarity 0 to everything).
+
+    Scale shape — identical to ``kcenter_select``: persisted
+    ``(id, unit_vec, rel, smax)`` working set; each round is ONE
+    map-side-partial ``max(struct)`` aggregate returning a single row
+    to the driver, then a narrow JVM-HOF dot update against the picked
+    vector's literals; ``localCheckpoint`` every ``checkpoint_every``
+    rounds truncates lineage.  The greedy sequence is inherently
+    sequential — k passes is the algorithm's floor; run it on the
+    retrieval candidate set or a per-shard sample, not the raw corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    nrm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cur = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+            F.col(score_col).cast("double").alias("_rel"),
+        )
+        .withColumn("_nrm", nrm)
+        .select(
+            "_id",
+            F.transform(
+                "_v",
+                lambda x: x
+                / F.when(F.col("_nrm") == 0.0, F.lit(1.0)).otherwise(
+                    F.col("_nrm")
+                ),
+            ).alias("_u"),
+            "_rel",
+            F.lit(0.0).alias("_smax"),
+        )
+    )
+    cur = cur.persist()
+    spark = df.sparkSession
+    picks: list[tuple[int, int, float]] = []
+    prev = None
+    prev_ckpt = ckpt_cur = False
+    obj = F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * F.col("_smax")
+    for i in range(k):
+        top = cur.agg(
+            F.max(
+                F.struct(
+                    obj.alias("m"),
+                    (-F.col("_id")).alias("nid"),
+                    F.col("_u").alias("u"),
+                )
+            ).alias("s")
+        ).head()["s"]
+        if top is None:  # fewer than k rows
+            break
+        picks.append((i, int(-top["nid"]), float(top["m"])))
+        pu = F.array(*[F.lit(float(x)) for x in top["u"]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_u"), pu, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nxt = cur.filter(F.col("_id") != int(-top["nid"])).withColumn(
+            "_smax", F.greatest(F.col("_smax"), dot)
+        )
+        ckpt = (i + 1) % checkpoint_every == 0
+        nxt = nxt.localCheckpoint(eager=True) if ckpt else nxt.persist()
+        if prev is not None and not prev_ckpt:
+            prev.unpersist()
+        prev, prev_ckpt, cur = cur, ckpt_cur, nxt
+        ckpt_cur = ckpt
+    if prev is not None and not prev_ckpt:
+        prev.unpersist()
+    if not ckpt_cur:
+        cur.unpersist()
+    return spark.createDataFrame(picks, "rank int, id long, mmr double")

@@ -498,3 +498,83 @@ def test_embedding_pca_k_exceeds_dim(spark):
     )
     with _pt.raises(ValueError):
         embedding_pca(df, k=3).collect()
+
+
+# ------------------------------------------------------- mmr_select
+
+
+def _mmr_replay(ids, mat, rel, k, lam):
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    u = mat / np.where(norms == 0, 1.0, norms)
+    alive = np.ones(len(ids), dtype=bool)
+    smax = np.zeros(len(ids))
+    out = []
+    for r in range(min(k, len(ids))):
+        obj = lam * rel - (1.0 - lam) * smax
+        cand = np.where(alive)[0]
+        best = cand[np.lexsort((ids[cand], -obj[cand]))[0]]
+        out.append((r, int(ids[best]), float(obj[best])))
+        sims = u @ u[best]
+        smax = np.maximum(smax, sims)
+        alive[best] = False
+    return out
+
+
+def test_mmr_select_matches_greedy_replay(spark):
+    import numpy as np
+
+    from proxyfeatureextraction_spark.operators.similarity import mmr_select
+
+    ids = list(range(30))
+    mat = np.array(
+        [[((i * 5 + j * 11) % 17) - 8.0 for j in range(6)] for i in ids]
+    )
+    mat[12] = mat[4]  # exact duplicate: heavy redundancy penalty
+    mat[20] = 0.0     # zero-norm row: similarity 0 to everything
+    rel = np.array([((i * 13) % 7) / 7.0 for i in ids])
+    rows = [(i, [float(x) for x in mat[i]], float(rel[i])) for i in ids]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, rel double"
+    )
+    got = (
+        mmr_select(df, k=9, score_col="rel", lam=0.6, checkpoint_every=4)
+        .orderBy("rank")
+        .collect()
+    )
+    m32 = np.vstack([np.array(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
+    want = _mmr_replay(np.array(ids), m32, rel, 9, 0.6)
+    assert [(g["rank"], g["id"]) for g in got] == [(r, i) for r, i, _ in want]
+    for g, (_, _, m) in zip(got, want):
+        assert abs(g["mmr"] - m) < 1e-9
+    # the exact duplicate of an early pick must not follow it directly:
+    picked = [g["id"] for g in got]
+    if 4 in picked and 12 in picked:
+        assert abs(picked.index(4) - picked.index(12)) > 1
+
+
+def test_mmr_select_lambda_extremes_and_errors(spark):
+    """λ=1 is exactly top-k by (score desc, id); λ=0 ignores relevance
+    (round 0 → lowest id by the tie rule)."""
+    from proxyfeatureextraction_spark.operators.similarity import mmr_select
+
+    rows = [
+        (0, [1.0, 0.0], 0.1),
+        (1, [1.0, 0.0], 0.9),
+        (2, [0.0, 1.0], 0.5),
+        (3, [0.0, 1.0], 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, rel double"
+    )
+    top = [r["id"] for r in mmr_select(df, 4, "rel", lam=1.0).orderBy("rank").collect()]
+    assert top == [1, 2, 3, 0]  # pure score, ties to lower id
+    spread = [r["id"] for r in mmr_select(df, 2, "rel", lam=0.0).orderBy("rank").collect()]
+    assert spread == [0, 2]  # id 0 first (all obj 0), then the orthogonal one
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mmr_select(df, 0, "rel")
+    with _pytest.raises(ValueError):
+        mmr_select(df, 2, "rel", lam=1.5)
