@@ -2413,7 +2413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "shuffle_shards": q_shuffle_shards,
         "kcenter_select": q_kcenter_select,
-        "mmr_select": q_mmr_select,
         "curate_corpus": q_curate_corpus,
         "semantic_dedup": q_semantic_dedup,
         # -- new round-5 operators: first driver rows ---------------------
@@ -2444,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "epoch_schedule": q_epoch_schedule,
         "embedding_pca": q_embedding_pca,
+        "mmr_select": q_mmr_select,
         "ngram_novelty": q_ngram_novelty,
         "curriculum_order": q_curriculum_order,
         "bpe_train": q_bpe_train,
