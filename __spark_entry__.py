@@ -1395,7 +1395,11 @@ def q_lm_perplexity(spark, sf_dir):
         ngram_lm_counts,
     )
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the bigram-explode map
+    # side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lm = ngram_lm_counts(d.filter(F.col("doc_id") % 10 == 0))
     return lm_cross_entropy(d, lm).select(
         "doc_id",
@@ -1417,7 +1421,11 @@ def q_ppl_buckets(spark, sf_dir):
         ppl_buckets,
     )
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the bigram-explode map
+    # side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lm = ngram_lm_counts(d.filter(F.col("doc_id") % 10 == 0))
     return ppl_buckets(d, lm, group_col="lang")
 
@@ -1524,7 +1532,11 @@ def q_contamination_report(spark, sf_dir):
         contamination_report,
     )
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the explode-heavy
+    # 8-gram map side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return contamination_report(
         d.filter(F.col("doc_id") % 20 != 0),
         d.filter(F.col("doc_id") % 20 == 0),
@@ -1762,7 +1774,12 @@ def q_dedup_corpus(spark, sf_dir):
     recursive closure."""
     from proxyfeatureextraction_spark.operators.dedup import dedup_corpus
 
-    return dedup_corpus(_table(spark, sf_dir, "documents"), threshold=0.8)
+    # single-split fixture repartitioned before the normalize+digest
+    # map side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup_corpus(d, threshold=0.8)
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -1772,7 +1789,11 @@ def q_dedup_incremental(spark, sf_dir):
     recall) so the DuckDB closure mirrors bit-for-bit."""
     from proxyfeatureextraction_spark.operators.dedup import dedup_incremental
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the normalize+digest
+    # map side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dedup_incremental(
         d.filter(F.col("doc_id") % 2 == 1),
         d.filter(F.col("doc_id") % 2 == 0),
@@ -1825,7 +1846,11 @@ def q_split_by_cluster(spark, sf_dir):
     id (full value oracle incl. the split label)."""
     from proxyfeatureextraction_spark.operators.curation import split_by_cluster
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the normalize+digest
+    # map side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = split_by_cluster(
         d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=11, threshold=0.8
     )
@@ -1919,7 +1944,11 @@ def q_ngram_novelty(spark, sf_dir):
     boundaries (the oracle regex-splits identically)."""
     from proxyfeatureextraction_spark.operators.curation import ngram_novelty
 
-    d = _docs_with_lines(spark, sf_dir)
+    # single-split fixture repartitioned before the explode-heavy
+    # polynomial gram-hash map side (same fix as q_gopher_repetition)
+    d = _docs_with_lines(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ngram_novelty(d, n=8)
 
 
@@ -2142,7 +2171,11 @@ def q_decontaminate(spark, sf_dir):
     set is broadcast — one corpus scan, zero full-data shuffles."""
     from proxyfeatureextraction_spark.operators.curation import decontaminate
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the explode-heavy
+    # 8-gram map side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return decontaminate(
         d.filter(F.col("doc_id") % 20 != 0),
         d.filter(F.col("doc_id") % 20 == 0),
@@ -2157,7 +2190,13 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     train×train) + exact JVM verify."""
     from proxyfeatureextraction_spark.operators.curation import decontaminate_fuzzy
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the minhash signature
+    # map side (tokenize → 16 permutations → band fold runs per-row on
+    # the train split; one parquet split would serialize it on a single
+    # task — same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return decontaminate_fuzzy(
         d.filter(F.col("doc_id") % 20 != 0),
         d.filter(F.col("doc_id") % 20 == 0),
@@ -2208,7 +2247,11 @@ def q_curate_corpus(spark, sf_dir):
     doc: (doc_id, quality, reason, keep, split)."""
     from proxyfeatureextraction_spark.operators.curation import curate_corpus
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the quality-score +
+    # normalize+digest map side (same fix as q_gopher_repetition)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return curate_corpus(
         d.filter(F.col("doc_id") % 20 != 0),
         d.filter(F.col("doc_id") % 20 == 0),
@@ -2242,7 +2285,11 @@ def q_dedup_keep_best(spark, sf_dir):
     from proxyfeatureextraction_spark.functions.text import quality_score
     from proxyfeatureextraction_spark.operators.dedup import dedup_keep_best
 
-    d = _table(spark, sf_dir, "documents").withColumn(
+    # single-split fixture repartitioned before the normalize+digest
+    # map side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).withColumn(
         "quality", quality_score("text")
     )
     return dedup_keep_best(d, "quality")

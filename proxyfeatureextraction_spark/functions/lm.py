@@ -65,7 +65,7 @@ def _bigrams(text_col) -> "F.Column":
 
 
 def ngram_lm_counts(
-    ref: DataFrame, text_col: str = "text"
+    ref: DataFrame, text_col: str = "text", materialize: bool = True
 ) -> dict[str, DataFrame]:
     """Train the bigram LM: count tables from the reference corpus.
 
@@ -74,13 +74,26 @@ def ngram_lm_counts(
     smoothed conditionals sum to 1 over the vocabulary; ``v`` is the
     number of distinct real tokens (every real token occurs as some
     bigram's w2 thanks to the <s> prefix, so ``distinct w2`` is exact).
+
+    One reference pass: only ``bi`` aggregates the corpus-sized bigram
+    stream; ``uni`` and ``vocab`` are EXACT integer derivations over the
+    vocabulary-bounded ``bi`` table (``c1 = sum_w2 c2``; ``v`` =
+    distinct ``w2``, total because the <s> prefix makes every real
+    token some bigram's ``w2``).  ``materialize=True`` (default)
+    ``localCheckpoint``s ``bi`` lazily so the three tables — and the
+    scoring join that consumes them — share ONE execution of the
+    reference explode+aggregate lineage instead of re-running it per
+    consumer (the blocks are executor-local and released by the
+    ContextCleaner once the returned frames are dropped).
     """
     bg = ref.select(F.explode(_bigrams(text_col)).alias("b")).select(
         F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bg.agg(F.countDistinct("w2").alias("v"))
+    if materialize:
+        bi = bi.localCheckpoint(eager=False)
+    uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = bi.agg(F.countDistinct("w2").alias("v"))
     return {"uni": uni, "bi": bi, "vocab": vocab}
 
 
@@ -89,6 +102,7 @@ def lm_cross_entropy(
     lm: dict[str, DataFrame],
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Per-document cross-entropy and perplexity under the bigram LM.
 
@@ -96,45 +110,52 @@ def lm_cross_entropy(
     ``n_tok = 0`` and NULL scores (no bigrams to average over).  Laplace
     add-one smoothing handles every unseen word/bigram, so the score is
     total — no document can blow up to infinity.
+
+    The bigram table's broadcast is SIZE-GATED: a realistic reference
+    corpus (CCNet trains on Wikipedia — ~1e8 distinct bigrams) is far
+    past any broadcast budget, so ``bi`` is counted once (cheap — the
+    table is materialized by ``ngram_lm_counts``) and broadcast only
+    under ``broadcast_max_rows``; past the gate the scoring join is a
+    plain shuffle equi-join on ``(w1, w2)`` — the scored side is
+    already exploded to bigram rows, so the exchange carries exactly
+    the rows it must.  ``uni`` shares the same gate; ``vocab`` is one
+    row.  Empty documents ride the main aggregate via ``explode_outer``
+    (a NULL bigram row that scores NULL and counts zero tokens), so no
+    second corpus pass re-attaches them.
     """
     bg = df.select(
-        F.col(id_col), F.explode(_bigrams(text_col)).alias("b")
+        F.col(id_col), F.explode_outer(_bigrams(text_col)).alias("b")
     ).select(
         id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
+    bi, uni = lm["bi"], lm["uni"]
+    n_bi = bi.count()
+    if n_bi <= broadcast_max_rows:
+        bi, uni = F.broadcast(bi), F.broadcast(uni)
     scored = (
-        bg.join(F.broadcast(lm["bi"]), ["w1", "w2"], "left")
-        .join(F.broadcast(lm["uni"].withColumnRenamed("w1", "w1u")),
+        bg.join(bi, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w1", "w1u"),
               F.col("w1") == F.col("w1u"), "left")
         .crossJoin(F.broadcast(lm["vocab"]))
         .select(
             id_col,
-            (
+            "w2",
+            F.when(
+                F.col("w2").isNotNull(),
                 F.log(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
-                - F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                - F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")),
             ).alias("logp"),
         )
     )
     agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tok"),
+        F.count("w2").alias("n_tok"),
         (-F.avg("logp")).alias("ce"),
     )
-    out = agg.select(
+    return agg.select(
         id_col,
         "n_tok",
         F.col("ce"),
         F.exp("ce").alias("ppl"),
-    )
-    # empty docs produce zero bigram rows — restore them with NULL scores
-    base = df.select(id_col).distinct()
-    return (
-        base.join(out, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
-            "ce",
-            "ppl",
-        )
     )
 
 
@@ -171,6 +192,12 @@ def ppl_buckets(
         .select(
             id_col, group_col, "n_tok", F.round("ppl", 6).alias("ppl6")
         )
+        # the slim (id, group, n_tok, ppl6) table feeds BOTH the cutoff
+        # aggregate and the binning join — materialize it once instead
+        # of re-running the whole scoring lineage (corpus explode + LM
+        # joins) per consumer; executor-local blocks, doc-level narrow
+        # rows, freed by the ContextCleaner with the returned frame
+        .localCheckpoint(eager=False)
     )
     cuts = scored.groupBy(group_col).agg(
         F.percentile("ppl6", F.lit(1 / 3)).alias("c1"),

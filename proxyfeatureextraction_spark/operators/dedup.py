@@ -1236,9 +1236,19 @@ def dedup_corpus(
     # ~72-byte keys; representative text is recovered by a keep-id
     # semi-join (long key) only for the near-dup stage's input
     dh, ds = _digest("_t")
+    # The normalized+digested corpus is this operator's shared working
+    # set: it feeds the rep aggregate, the exact-edge join, and (via
+    # rep_docs) every stage of the near-dup route. Without
+    # materialization each consumer re-executes the scan → normalize →
+    # sha2 lineage independently (~6-8 executions measured). Persisted
+    # MEMORY_AND_DISK (spills when it outgrows memory) and explicitly
+    # unpersisted below, once the contraction's eager checkpoint has
+    # materialized every consumer.
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col).alias("doc_id"), norm.alias("_t")
-    ).withColumns({"_dh": dh, "_ds": ds})
+    ).withColumns({"_dh": dh, "_ds": ds}).persist(StorageLevel.MEMORY_AND_DISK)
     reps = base.groupBy("_dh", "_ds").agg(F.min("doc_id").alias("_rep"))
     exact_edges = (
         base.select("doc_id", "_dh", "_ds")
@@ -1266,18 +1276,31 @@ def dedup_corpus(
             "only): use method='auto'/'scalable' for n-gram dedup, whose LSH "
             "recall is the documented trade."
         )
-    if method in ("auto", "exact") and shingle is None:
-        try:
-            near = jaccard_pairs(rep_docs, threshold=threshold)
-        except ValueError:
-            if method == "exact":
-                raise
-            near = jaccard_pairs_scalable(rep_docs, threshold=threshold)
-    else:
-        near = jaccard_pairs_scalable(rep_docs, threshold=threshold, shingle=shingle)
-    edges = exact_edges.unionByName(near.select("doc_a", "doc_b"))
-    assign = dedup_clusters(edges, nodes=df.select(F.col(id_col).alias("doc_id")),
-                            max_iter=max_iter)
+    try:
+        if method in ("auto", "exact") and shingle is None:
+            try:
+                near = jaccard_pairs(rep_docs, threshold=threshold)
+            except ValueError:
+                if method == "exact":
+                    raise
+                near = jaccard_pairs_scalable(rep_docs, threshold=threshold)
+        else:
+            near = jaccard_pairs_scalable(
+                rep_docs, threshold=threshold, shingle=shingle
+            )
+        edges = exact_edges.unionByName(near.select("doc_a", "doc_b"))
+        assign = dedup_clusters(
+            edges, nodes=df.select(F.col(id_col).alias("doc_id")),
+            max_iter=max_iter,
+        )
+    finally:
+        # dedup_clusters' initial EAGER checkpoint has materialized every
+        # base consumer (exact edges + the near route), and the returned
+        # frame's lineage reads only checkpointed edge blocks + df — so
+        # the cache can be released here instead of leaking for the
+        # session's lifetime (ADVICE r5: persisted working sets must not
+        # accumulate across calls)
+        base.unpersist()
     return assign.withColumn(
         "is_survivor", F.col("cluster_rep") == F.col("doc_id")
     )
@@ -1393,7 +1416,20 @@ def dedup_incremental(
         F.col(id_col).alias("doc_id"), norm.alias("_t"), F.lit(False).alias("_new")
     )
     dh, ds = _digest("_t")
-    union = new.unionByName(old).withColumns({"_dh": dh, "_ds": ds})
+    # persisted for the same reason as dedup_corpus's base: the
+    # normalized+digested union feeds the clash probe, the rep
+    # aggregate, the exact-edge join and the whole near-dup route —
+    # without materialization each re-runs normalize+sha2. Unpersisted
+    # once the contraction's eager checkpoint has consumed them; the
+    # two post-clustering consumers read only (doc_id, _new), which
+    # column-pruning reduces to a plain scan.
+    from pyspark import StorageLevel
+
+    union = (
+        new.unionByName(old)
+        .withColumns({"_dh": dh, "_ds": ds})
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # PRECONDITION (validated, fail-fast): ids unique across batch AND
     # corpus. The clustering below is id-keyed, so an id reused for
     # DIFFERENT content in the two spaces would merge unrelated
@@ -1463,16 +1499,21 @@ def dedup_incremental(
         except ValueError:
             if method == "exact":
                 raise
-    if near is None:
-        # ONE verify path: the scalable route with the asymmetric flag
-        # (an inline twin of its candidate→verify join had already
-        # started to drift before this was consolidated)
-        near = jaccard_pairs_scalable(
-            rep_docs, threshold=threshold, n_perm=n_perm, bands=bands,
-            flag_col="_new", precomputed_bands=corpus_sigs,
-        ).select("doc_a", "doc_b")
-    edges = exact_edges.unionByName(near)
-    assign = dedup_clusters(edges, nodes=union.select("doc_id"), max_iter=max_iter)
+    try:
+        if near is None:
+            # ONE verify path: the scalable route with the asymmetric flag
+            # (an inline twin of its candidate→verify join had already
+            # started to drift before this was consolidated)
+            near = jaccard_pairs_scalable(
+                rep_docs, threshold=threshold, n_perm=n_perm, bands=bands,
+                flag_col="_new", precomputed_bands=corpus_sigs,
+            ).select("doc_a", "doc_b")
+        edges = exact_edges.unionByName(near)
+        assign = dedup_clusters(
+            edges, nodes=union.select("doc_id"), max_iter=max_iter
+        )
+    finally:
+        union.unpersist()
     flagged = assign.join(union.select("doc_id", "_new"), "doc_id")
     cstats = flagged.groupBy("cluster_rep").agg(
         F.max((~F.col("_new")).cast("int")).cast("boolean").alias("_has_old"),

@@ -106,6 +106,31 @@ def test_plan_jvm_only_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_large_bigram_table_not_broadcast(spark):
+    """Size gate (r5 verdict #1): past ``broadcast_max_rows`` the bigram
+    count table must NOT be forced into a broadcast — the scoring join
+    falls back to a plain shuffle equi-join on (w1, w2). Values must be
+    identical on both paths."""
+    ref = spark.createDataFrame(REF, ["doc_id", "text"])
+    docs = spark.createDataFrame(SCORED, ["doc_id", "text"])
+    lm = ngram_lm_counts(ref)
+    small = lm_cross_entropy(docs, lm)
+    big = lm_cross_entropy(docs, lm, broadcast_max_rows=0)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # the only remaining broadcast on the gated path is the one-row
+    # vocab crossJoin — no broadcast hash join over the count tables
+    assert "BroadcastHashJoin" not in plan
+    a = {r["doc_id"]: (r["n_tok"], r["ce"], r["ppl"]) for r in small.collect()}
+    b = {r["doc_id"]: (r["n_tok"], r["ce"], r["ppl"]) for r in big.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        for x, y in zip(a[k][1:], b[k][1:]):
+            assert (x is None) == (y is None)
+            if x is not None:
+                assert abs(x - y) < 1e-12
+
+
 BUCKET_DOCS = [
     # two groups with enough spread for distinct terciles
     (10, "en", "the quick fox runs"),
