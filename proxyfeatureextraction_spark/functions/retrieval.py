@@ -274,13 +274,57 @@ def tfidf_allpairs(
         .select("a", "b")
         .distinct()
     )
-    va = vec.select(F.col("doc_id").alias("a"), "w", F.col("u").alias("ua"))
-    vb = vec.select(F.col("doc_id").alias("b"), "w", F.col("u").alias("ub"))
+    # Exact verification over PER-DOCUMENT vector rows, not exploded
+    # term rows: the old shape (pairs ⋈ va on a → pairs ⋈ vb on (b, w)
+    # → groupBy(a, b)) fanned every candidate pair out to |vocab(a)|
+    # term rows before the second join — at a near-dup-dense 5k-doc
+    # corpus that is 12.4M pairs × ~23 terms ≈ 285M rows through two
+    # exchanges (measured 29 s of a 35 s call). Collapsing each doc's
+    # unit vector to ONE row (sorted entry array / hash map) makes the
+    # verify one row per candidate pair: the dot product is a JVM
+    # ``aggregate`` fold over a's entries with an ``element_at`` lookup
+    # into b's map — no exchange ever carries more than |pairs| rows,
+    # and the fold order is the sorted term order, deterministic.
+    # Map lookups on Spark's array-backed maps are LINEAR scans, so the
+    # per-pair fold costs |terms(a)| × |terms(b)| key compares — with
+    # 8-byte xxhash64 keys those are long compares instead of UTF8
+    # string compares (~4× cheaper measured). Hashed keys are exact
+    # only if the hash is injective on this corpus's vocabulary, so
+    # that is CHECKED (one aggregate over the persisted vec table —
+    # vocabulary-bounded); on the astronomically rare collision the
+    # verify falls back to the term strings themselves.
+    hash_ok = (
+        vec.agg(
+            (
+                F.countDistinct("w") == F.countDistinct(F.xxhash64("w"))
+            ).alias("ok")
+        ).first()["ok"]
+    )
+    if materialize:
+        # vec (and everything the verify needs) is materialized by the
+        # hash_ok probe; the tf table's cache is now redundant — release
+        # it instead of holding it for the session's lifetime
+        dt.unpersist()
+    key = F.xxhash64("w") if hash_ok else F.col("w")
+    emap = vec.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct(key.alias("k"), F.col("u")))).alias("e")
+    )
+    if materialize:
+        emap = emap.persist(StorageLevel.MEMORY_AND_DISK)
+    ea = emap.select(F.col("doc_id").alias("a"), F.col("e").alias("ea"))
+    eb = emap.select(
+        F.col("doc_id").alias("b"), F.map_from_entries("e").alias("mb")
+    )
+    sim = F.aggregate(
+        F.col("ea"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.coalesce(F.element_at(F.col("mb"), s["k"]), F.lit(0.0)) * s["u"],
+    )
     return (
-        pairs.join(va, "a")
-        .join(vb, ["b", "w"])
-        .groupBy("a", "b")
-        .agg(F.sum(F.col("ua") * F.col("ub")).alias("sim"))
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )

@@ -598,7 +598,18 @@ def decontaminate_fuzzy(
     ).withColumnRenamed("doc_id", "ev_id")
     if broadcast_eval:
         eb = F.broadcast(eb)
-    cands = tb.join(eb, ["band", "sig"]).select("doc_id", "ev_id").distinct()
+    # AQE coalesces post-shuffle partitions by BYTES, and candidate rows
+    # are two longs — a million-pair candidate list coalesces to a
+    # single task, serializing the whole array-set verify below on one
+    # core (measured 16.7 s of a 19 s call at sf0.1). Re-spread by the
+    # pair key (high-cardinality, deterministic) so the verify stage
+    # runs at the configured parallelism; the extra exchange moves only
+    # candidate ids.
+    sc = train.sparkSession.sparkContext
+    cands = (
+        tb.join(eb, ["band", "sig"]).select("doc_id", "ev_id").distinct()
+        .repartition(sc.defaultParallelism, "doc_id", "ev_id")
+    )
 
     if shingle is None:
         set_col = F.filter(

@@ -416,6 +416,14 @@ def jaccard_pairs_scalable(
         text_col=text_col, max_bucket=max_bucket, shingle=shingle,
         flag_col=flag_col, precomputed_bands=precomputed_bands,
     )
+    # candidate rows are two longs, so AQE's byte-based coalescing can
+    # collapse a large candidate list onto one task right before the
+    # expensive array-set verify below — re-spread by the pair key
+    # (high-cardinality, deterministic) so the verify runs at the
+    # configured parallelism (same fix as decontaminate_fuzzy)
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    )
     if shingle is None:
         set_col = F.filter(
             F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
