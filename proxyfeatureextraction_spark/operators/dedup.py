@@ -1297,9 +1297,14 @@ def dedup_corpus(
                 rep_docs, threshold=threshold, shingle=shingle
             )
         edges = exact_edges.unionByName(near.select("doc_a", "doc_b"))
+        # pairs_distinct: exact edges are one row per non-rep doc, near
+        # pairs one row per verified candidate pair, and the two sets
+        # are disjoint (exact links same-text docs, near links distinct-
+        # text reps) — the producer-side uniqueness dedup_clusters needs
+        # to skip its initial full-shuffle distinct
         assign = dedup_clusters(
             edges, nodes=df.select(F.col(id_col).alias("doc_id")),
-            max_iter=max_iter,
+            max_iter=max_iter, pairs_distinct=True,
         )
     finally:
         # dedup_clusters' initial EAGER checkpoint has materialized every
@@ -1517,8 +1522,10 @@ def dedup_incremental(
                 flag_col="_new", precomputed_bands=corpus_sigs,
             ).select("doc_a", "doc_b")
         edges = exact_edges.unionByName(near)
+        # same producer-side uniqueness argument as dedup_corpus
         assign = dedup_clusters(
-            edges, nodes=union.select("doc_id"), max_iter=max_iter
+            edges, nodes=union.select("doc_id"), max_iter=max_iter,
+            pairs_distinct=True,
         )
     finally:
         union.unpersist()
@@ -1548,6 +1555,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 30,
     reliable: bool = False,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into clusters: (doc_id, cluster_rep).
 
@@ -1575,6 +1583,17 @@ def dedup_clusters(
     (cluster_rep = self) for docs that never paired, so the output is a
     total assignment over the corpus. Survivors are then
     ``cluster_rep == doc_id`` rows; everything else drops.
+
+    ``pairs_distinct=True`` declares that the producer emits each
+    undirected pair at most once (true for ``jaccard_pairs`` /
+    ``jaccard_pairs_scalable`` output unioned with exact-dup edges —
+    each (a, b) arises from exactly one (set(a), set(b))): the initial
+    symmetrized edge list is then provably duplicate-free and its
+    ``distinct`` (a full shuffle of 2×|pairs| rows) is skipped. The
+    per-round ``distinct`` inside the contraction is unaffected, so a
+    wrong declaration costs correctness nothing — the first round
+    re-dedups — but the checksum convergence test could need one extra
+    round.
     """
     if reliable:
         sc = pairs.sparkSession.sparkContext
@@ -1590,10 +1609,10 @@ def dedup_clusters(
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    edges = _ckpt(
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
-        True,
-    )
+    sym0 = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not pairs_distinct:
+        sym0 = sym0.distinct()
+    edges = _ckpt(sym0, True)
 
     def _sym(df: DataFrame) -> DataFrame:
         return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
@@ -1620,12 +1639,16 @@ def dedup_clusters(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        # eager=False: persistence is marked now, materialization rides
-        # the round's ONE action (the checksum) — 1 job per round, not 3
-        mid = _ckpt(_sym(large), False)
-        # small-star: per node, the smaller neighbors + self re-link to
-        # the minimum of that set (directed large→small view)
-        down = mid.filter(F.col("v") < F.col("u"))
+        # directed large→small view WITHOUT materializing the
+        # symmetrized list: every large edge has u != v, so orienting
+        # each edge (max, min) IS sym(large).filter(v < u) up to
+        # duplicates — and every consumer below tolerates duplicates
+        # (min aggregates; the round's output goes through
+        # _sym(...).distinct) — one 2×|edges| union+distinct exchange
+        # and one checkpoint fewer per round
+        down = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         smin = down.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             down.join(smin, "u")
@@ -1641,7 +1664,6 @@ def dedup_clusters(
         # long-lived session repeated contractions otherwise accumulate
         # block-manager memory across rounds AND invocations)
         round_start.unpersist()
-        mid.unpersist()
         if cur == prev:
             converged = True
             break

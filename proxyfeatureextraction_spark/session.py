@@ -97,6 +97,17 @@ def get_spark(
         # serializes shuffle spill and caps thread scaling; a real
         # cluster has node-local NVMe that scales with executors
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _local_dir()))
+        # shuffle files are only deleted when the driver GCs the
+        # referencing RDD objects; a long-lived session running many
+        # queries back-to-back (the bench, a notebook, a job server)
+        # otherwise accumulates dead shuffle data — on tmpfs that is
+        # resident RAM squeezing the page cache. Default is 30min;
+        # trigger the ContextCleaner's periodic GC often enough that
+        # dead shuffles from earlier queries are reclaimed between runs.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_PERIODIC_GC", "2min"),
+        )
         # managed (bucketed) tables + embedded metastore out of the repo,
         # in a per-user per-process dir (Derby's lock is single-process)
         .config(
