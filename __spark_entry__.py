@@ -614,7 +614,11 @@ def q_dedup_jaccard(spark, sf_dir):
     the unbounded-scale path."""
     from proxyfeatureextraction_spark.operators.dedup import jaccard_pairs
 
-    d = _table(spark, sf_dir, "documents")
+    # single-split fixture repartitioned before the tokenize/sort map
+    # side (same fix as q_gopher_repetition / q_dsir_weights)
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return jaccard_pairs(d, threshold=0.8)
 
 
@@ -625,9 +629,11 @@ def q_dedup_jaccard_scalable(spark, sf_dir):
     size; precision exact, recall = LSH recall (bands=8 here)."""
     from proxyfeatureextraction_spark.operators.dedup import jaccard_pairs_scalable
 
-    return jaccard_pairs_scalable(
-        _table(spark, sf_dir, "documents"), threshold=0.8, n_perm=16, bands=8
+    # single-split fixture repartitioned before the minhash map side
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return jaccard_pairs_scalable(d, threshold=0.8, n_perm=16, bands=8)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -637,9 +643,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     permuted texts (identical word sets) do NOT pair here."""
     from proxyfeatureextraction_spark.operators.dedup import jaccard_pairs_scalable
 
-    return jaccard_pairs_scalable(
-        _table(spark, sf_dir, "documents"), threshold=0.8, n_perm=16, bands=8, shingle=3
+    # single-split fixture repartitioned before the shingle+minhash map side
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return jaccard_pairs_scalable(d, threshold=0.8, n_perm=16, bands=8, shingle=3)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1259,7 +1267,10 @@ def q_embedding_dup_clusters(spark, sf_dir):
     )
     nodes = _table(spark, sf_dir, "embeddings").select("vec_id")
     return dedup_clusters(
-        pairs, nodes=nodes, a_col="vec_id", b_col="neighbor", id_col="vec_id"
+        pairs, nodes=nodes, a_col="vec_id", b_col="neighbor", id_col="vec_id",
+        # top-k lists hold distinct neighbors and the a<b filter keeps
+        # each undirected pair from one list only — unique by construction
+        pairs_distinct=True,
     )
 
 
@@ -1762,8 +1773,14 @@ def q_dedup_near_survivors(spark, sf_dir):
     closure over the same pair list, min reachable id per doc."""
     from proxyfeatureextraction_spark.operators.dedup import dedup_clusters, jaccard_pairs
 
-    d = _table(spark, sf_dir, "documents")
-    return dedup_clusters(jaccard_pairs(d, threshold=0.8), nodes=d)
+    # single-split fixture repartitioned before the tokenize/sort map side
+    d = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # jaccard_pairs emits each undirected pair exactly once
+    return dedup_clusters(
+        jaccard_pairs(d, threshold=0.8), nodes=d, pairs_distinct=True
+    )
 
 
 def q_dedup_corpus(spark, sf_dir):

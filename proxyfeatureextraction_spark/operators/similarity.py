@@ -608,7 +608,11 @@ def semantic_dedup(
         cell_pairs, schema=pair_schema
     )
     clusters = dedup_clusters(
-        edges, nodes=base.select(F.col("vec_id")), a_col="a", b_col="b", id_col="vec_id"
+        edges, nodes=base.select(F.col("vec_id")), a_col="a", b_col="b",
+        id_col="vec_id",
+        # each vector lives in exactly one cell, so a pair is emitted by
+        # exactly one cell's kernel — the initial edge distinct is skippable
+        pairs_distinct=True,
     )
     labeled = assigned.select("vec_id", "cell", "cent_cos", "capped").join(
         clusters, "vec_id"
