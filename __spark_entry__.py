@@ -2428,16 +2428,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate verifies the FIRST 50 entries in dict
-    # order.  Round-5 rotation (closing the two-consecutive-driver-rounds
-    # goal): the 31 queries past the cap in round 4 lead — prioritized
-    # because the similarity/text gates' source files changed in round 4 —
-    # followed by every gate whose implementation changed THIS round (the
-    # hash-domain-separated split/sample/mix/shard/pack family, dedup_lines,
-    # semantic_dedup, corpus_report, dsir_weights) and a north-rule core
-    # slice.  Everything below the cap is driver-green in CORRECTNESS_r04
-    # and stays green under the local gate replica (tools/check_entry.py).
+    # order.  Round-6 rotation (r5 verdict ask #1): the 17 round-5
+    # operators that have never seen a driver row lead, followed by every
+    # gate whose implementation or wrapper changed in the round-6
+    # optimization pass (lm single-pass tables + size-gated broadcast,
+    # dedup base persists + pairs_distinct + leaner star rounds, the LSH
+    # verify re-spread, the tfidf_allpairs per-pair verify, the
+    # _drop_hot_keys / semantic_dedup cache-lifetime fix, single-split
+    # wrapper repartitions), then a core slice whose driver evidence is
+    # oldest (r4).  Everything below the cap has a green driver row from
+    # r4/r5, is code-unchanged this round, and stays green under the
+    # local gate replica (tools/check_entry.py — full 110 run, sf0.01).
     return {
-        # -- rotated back in: over-cap in round 4, driver rows due now ----
+        # -- never driver-gated (round-5b/5c additions): first rows now --
+        "tfidf_allpairs": q_tfidf_allpairs,
+        "collocations_pmi": q_collocations_pmi,
+        "dedup_keep_best": q_dedup_keep_best,
+        "corpus_diff": q_corpus_diff,
+        "contamination_report": q_contamination_report,
+        "token_histogram": q_token_histogram,
+        "sample_stratified": q_sample_stratified,
+        "epoch_schedule": q_epoch_schedule,
+        "embedding_pca": q_embedding_pca,
+        "mmr_select": q_mmr_select,
+        "ngram_novelty": q_ngram_novelty,
+        "curriculum_order": q_curriculum_order,
+        "bpe_train": q_bpe_train,
+        "time_split_purged": q_time_split_purged,
+        "psi_drift": q_psi_drift,
+        "robust_scale": q_robust_scale,
+        "rrf_fuse": q_rrf_fuse,
+        # -- implementation or wrapper changed in round 6 ----------------
+        "lm_perplexity": q_lm_perplexity,
+        "ppl_buckets": q_ppl_buckets,
+        "dedup_corpus": q_dedup_corpus,
+        "dedup_incremental": q_dedup_incremental,
+        "split_by_cluster": q_split_by_cluster,
+        "curate_corpus": q_curate_corpus,
+        "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_near_survivors": q_dedup_near_survivors,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "winnow_pairs": q_winnow_pairs,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        # -- core rotation: oldest (r4) driver evidence ------------------
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "asof_global": q_asof_global,
+        "salted_stats": q_salted_stats,
+        "pit_row_features": q_pit_row_features,
+        "pit_blocked": q_pit_blocked,
+        "rollup_counts": q_rollup_counts,
+        "pivot_counts": q_pivot_counts,
+        "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
+        "outer_align_zproduct": q_outer_align_zproduct,
+        "rtt_pattern": q_rtt_pattern,
+        "dedup_exact": q_dedup_exact,
+        "dedup_survivors": q_dedup_survivors,
+        # ---- entries below are past the driver's 50-entry window this ----
+        # ---- round: all have green r4/r5 driver rows, their code is ------
+        # ---- unchanged this round, and the full-registry local gate ------
+        # ---- replica run stays green -------------------------------------
         "tumbling_global": q_tumbling_global,
         "backfill": q_backfill,
         "lag_lead": q_lag_lead,
@@ -2460,8 +2519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "join_revenue": q_join_revenue,
         "similarity_topk": q_similarity_topk,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
         "text_quality": q_text_quality,
         "text_normalize": q_text_normalize,
         "token_count_regex": q_token_count_regex,
@@ -2469,52 +2526,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_resize": q_multimodal_resize,
-        # -- gates whose implementation changed in round 5 ----------------
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
-        "split_by_cluster": q_split_by_cluster,
         "mix_corpus": q_mix_corpus,
         "dedup_lines": q_dedup_lines,
         "shuffle_shards": q_shuffle_shards,
         "kcenter_select": q_kcenter_select,
-        "curate_corpus": q_curate_corpus,
-        "semantic_dedup": q_semantic_dedup,
-        # -- new round-5 operators: first driver rows ---------------------
         "bm25_search": q_bm25_search,
         "tfidf_keywords": q_tfidf_keywords,
         "inverted_index": q_inverted_index,
-        "ppl_buckets": q_ppl_buckets,
         "domain_temperature": q_domain_temperature,
         "dedup_substrings": q_dedup_substrings,
-        "lm_perplexity": q_lm_perplexity,
         "token_count_bpe": q_token_count_bpe,
         "nb_quality": q_nb_quality,
-        # bloom_decontaminate takes the slot dsir_weights vacated: dsir's
-        # round-5 change is bench-wrapper-only (values unchanged,
-        # driver-green r4), while the Bloom gate is brand-new hash-family
-        # code that has never seen a driver row
         "bloom_decontaminate": q_bloom_decontaminate,
-        # -- new round-5b operators: past the 50-entry window (it is
-        # -- already full with the rotation + round-5-changed gates);
-        # -- verified green under tools/check_entry.py this round,
-        # -- first driver rows with the round-6 rotation ------------------
-        "tfidf_allpairs": q_tfidf_allpairs,
-        "collocations_pmi": q_collocations_pmi,
-        "dedup_keep_best": q_dedup_keep_best,
-        "corpus_diff": q_corpus_diff,
-        "contamination_report": q_contamination_report,
-        "token_histogram": q_token_histogram,
-        "sample_stratified": q_sample_stratified,
-        "epoch_schedule": q_epoch_schedule,
-        "embedding_pca": q_embedding_pca,
-        "mmr_select": q_mmr_select,
-        "ngram_novelty": q_ngram_novelty,
-        "curriculum_order": q_curriculum_order,
-        "bpe_train": q_bpe_train,
-        "time_split_purged": q_time_split_purged,
-        "psi_drift": q_psi_drift,
-        "robust_scale": q_robust_scale,
-        "rrf_fuse": q_rrf_fuse,
         "sample_weighted": q_sample_weighted,
         "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
@@ -2522,51 +2547,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_cumsum": q_prefix_cumsum,
         "interarrival": q_interarrival,
         "interval_join": q_interval_join,
-        # ---- entries below are past the driver's 50-entry window this ----
-        # ---- round: all have green CORRECTNESS_r04 rows and stay green ----
-        # ---- under tools/check_entry.py (their code did not change) ------
-        # corpus_report's r5 change touches only the exact=False path
-        # (its gate runs exact); the four dedup entries' r5 cap de-skew
-        # is value-identical (plan pinned by test_hot_caps.py) — their
-        # r4 driver rows still evidence the values
         "corpus_report": q_corpus_report,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_jaccard_scalable": q_dedup_jaccard_scalable,
-        "dedup_simhash_hamming": q_dedup_simhash_hamming,
-        "winnow_pairs": q_winnow_pairs,
-        "pit_row_features": q_pit_row_features,
-        "pit_blocked": q_pit_blocked,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "asof_global": q_asof_global,
-        "salted_stats": q_salted_stats,
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_near_survivors": q_dedup_near_survivors,
-        "dedup_corpus": q_dedup_corpus,
-        "dedup_incremental": q_dedup_incremental,
-        "rollup_counts": q_rollup_counts,
-        "pivot_counts": q_pivot_counts,
-        "gopher_quality": q_gopher_quality,
-        "gopher_repetition": q_gopher_repetition,
         "clean_lines": q_clean_lines,
         "chunk_docs": q_chunk_docs,
-        "decontaminate": q_decontaminate,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
         "top_ngrams": q_top_ngrams,
         "doc_winnow": q_doc_winnow,
         "profile_events": q_profile_events,
         "embedding_quantize": q_embedding_quantize,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "embedding_dup_pairs": q_embedding_dup_pairs,
-        "embedding_dup_clusters": q_embedding_dup_clusters,
-        "outer_align_zproduct": q_outer_align_zproduct,
-        "rtt_pattern": q_rtt_pattern,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {

@@ -168,7 +168,12 @@ def split_by_cluster(
     ``clusters`` is a precomputed ``(id_col, rep_col)`` assignment —
     e.g. ``dedup_corpus(df)`` output (extra columns ignored). When
     ``None`` it is computed here via ``dedup_corpus(df, id_col,
-    text_col, **dedup_kwargs)``.
+    text_col, **dedup_kwargs)``.  The assignment must be TOTAL over
+    ``df``'s ids (dedup_corpus's always is): the split join is inner,
+    so a doc missing from a user-supplied partial assignment is
+    dropped from the output rather than falling back to a singleton —
+    pre-fill missing ids with ``rep = own id`` if your assignment is
+    partial (r5 advisor note).
 
     Scale shape: one id-keyed equi-join of the corpus against the
     ids-only cluster table (the exchange carries two longs per doc;

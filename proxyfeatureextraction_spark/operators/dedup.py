@@ -134,11 +134,17 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     side holds only the (rare, tiny) over-cap keys.
 
     The input feeds BOTH the aggregate and the anti-join probe, so it
-    is persisted first — otherwise the upstream signature subtree
+    is materialized first — otherwise the upstream signature subtree
     (tokenize → hash → permute → explode, the dominant map-side cost
-    of every caller) executes twice. What's cached is the digest-row
-    table the guard inspects (ints, never text)."""
-    src = df.persist()
+    of every caller) executes twice. What's stored is the digest-row
+    table the guard inspects (ints, never text). ``localCheckpoint``
+    rather than ``persist``: the returned frame keeps the blocks
+    referenced, so a CacheManager entry would outlive the call forever
+    (r5 ADVICE #1 — unbounded accumulation across a long session),
+    while checkpoint blocks are released by the ContextCleaner once the
+    result is dropped (the session factory's periodic GC makes that
+    prompt)."""
+    src = df.localCheckpoint(eager=False)
     hot = (
         src.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bn"))
@@ -1340,7 +1346,11 @@ def dedup_keep_best(
     over ``df`` (a model score, ``functions.text.quality_score``, a
     Gopher composite, ...).  Returns ``(doc_id, cluster_rep, quality,
     is_survivor)`` — a total assignment, exactly one survivor per
-    cluster.
+    cluster.  REQUIREMENTS (r5 advisor note): ids must be numeric (the
+    tie-break negates ``doc_id``) and quality non-NULL for every member
+    (a NULL-quality struct sorts below every scored one, so such a doc
+    can never win) — coalesce quality to a sentinel upstream if NULLs
+    are meaningful.
 
     Scale shape: clustering is ``dedup_corpus``'s digest-keyed star
     contraction unchanged; the argmax is ONE map-side-partial

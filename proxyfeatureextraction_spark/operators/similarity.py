@@ -547,13 +547,17 @@ def semantic_dedup(
         for cell, v in upd.items():
             new[cell] = v
         cn = _unit_rows(new)
-    # persist: the final assignment feeds THREE consumers (the cell-size
-    # guard, the per-cell pair kernel, and the labeled output join) —
-    # without it each consumer re-executes the Arrow cosine-assignment
-    # kernel over every embedding. The working set is (id, vec, cell),
-    # the same materialization the SemDeDup paper's pipeline keeps
-    # between its clustering and dedup stages.
-    assigned = _assign_cells(base, cn, round_digits).persist()
+    # materialized: the final assignment feeds THREE consumers (the
+    # cell-size guard, the per-cell pair kernel, and the labeled output
+    # join) — without it each consumer re-executes the Arrow
+    # cosine-assignment kernel over every embedding. The working set is
+    # (id, vec, cell), the same materialization the SemDeDup paper's
+    # pipeline keeps between its clustering and dedup stages.
+    # localCheckpoint, not persist: the returned frame references these
+    # blocks, so a persist would pin a CacheManager entry for the
+    # session's lifetime (r5 ADVICE #1); checkpoint blocks are released
+    # by the ContextCleaner once the result is dropped.
+    assigned = _assign_cells(base, cn, round_digits).localCheckpoint(eager=False)
 
     # cells over max_cell skip pair generation (the O(cell²) kernel
     # would be degenerate there), but their members MUST NOT silently
