@@ -239,6 +239,45 @@ def test_allpairs_plan_shape(ap_df):
     assert "CartesianProduct" not in plan
 
 
+def test_allpairs_per_pair_verify_shape(ap_df):
+    """r6 optimization pin: verification is one row per candidate pair
+    (sorted entry array + map dot-product fold), not the exploded
+    term-level join + groupBy(a, b) — no aggregate over the pair key
+    remains in the plan."""
+    import re
+
+    from proxyfeatureextraction_spark.functions.retrieval import tfidf_allpairs
+
+    qe = tfidf_allpairs(ap_df, threshold=0.6)._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    assert "map_from_entries" in opt
+    plan = qe.executedPlan().toString()
+    # the candidate distinct is still a keys=[a,b] aggregate; what must
+    # be gone is the old dot-product aggregate sum(ua * ub) over the
+    # exploded term rows
+    assert not re.search(r"sum\(\(ua#\d+ \* ub#\d+\)\)", plan)
+    assert "partial_sum" not in plan
+
+
+def test_allpairs_string_fallback_exact(ap_df, monkeypatch):
+    """When the term-hash injectivity check fails, the verify falls back
+    to string-keyed maps with identical values. Forced here by patching
+    the hash to a constant (every vocabulary collides)."""
+    import pyspark.sql.functions as SF
+
+    import proxyfeatureextraction_spark.functions.retrieval as R
+
+    monkeypatch.setattr(R.F, "xxhash64", lambda c: SF.lit(1).cast("long"))
+    exp = _py_allpairs(0.6)
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in R.tfidf_allpairs(ap_df, threshold=0.6).collect()
+    }
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
 def test_bm25_query_filter_below_tf_aggregate(docs_df):
     # the (doc_id, term) tf aggregate must consume rows already
     # filtered to the query terms — the full-vocabulary exchange is
