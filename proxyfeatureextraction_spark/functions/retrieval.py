@@ -274,6 +274,14 @@ def tfidf_allpairs(
         .select("a", "b")
         .distinct()
     )
+    # the per-pair dot-product fold below is CPU-heavy on byte-cheap
+    # rows: spread it over 4× the configured parallelism so (a) AQE's
+    # byte-based coalescing can't collapse it onto few tasks and (b)
+    # the stage tail stays short when individual cores stall — the
+    # keyed repartition is deterministic and moves only id pairs
+    pairs = pairs.repartition(
+        4 * df.sparkSession.sparkContext.defaultParallelism, "a", "b"
+    )
     # Exact verification over PER-DOCUMENT vector rows, not exploded
     # term rows: the old shape (pairs ⋈ va on a → pairs ⋈ vb on (b, w)
     # → groupBy(a, b)) fanned every candidate pair out to |vocab(a)|

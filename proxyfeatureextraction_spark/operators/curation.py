@@ -613,7 +613,9 @@ def decontaminate_fuzzy(
     sc = train.sparkSession.sparkContext
     cands = (
         tb.join(eb, ["band", "sig"]).select("doc_id", "ev_id").distinct()
-        .repartition(sc.defaultParallelism, "doc_id", "ev_id")
+        # 4×: byte-cheap rows, CPU-heavy verify — finer tasks keep the
+        # stage tail short when individual cores stall
+        .repartition(4 * sc.defaultParallelism, "doc_id", "ev_id")
     )
 
     if shingle is None:

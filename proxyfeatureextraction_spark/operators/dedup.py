@@ -258,6 +258,14 @@ def jaccard_pairs(
             ),
         ),
     )
+    # the tokenize→sort→signature projection feeds BOTH the distinct-set
+    # table and the doc→set mapping below; materialize it once (the
+    # guard's count job triggers it) instead of executing the
+    # HOF-heavy projection per consumer (~2 s per call at sf0.1).
+    # localCheckpoint, not persist: blocks are released by the
+    # ContextCleaner once the result frame is dropped. The stored rows
+    # are the same (sig, ws) payload this plan already shuffles.
+    docs = docs.localCheckpoint(eager=False)
     dsets = docs.select("sig", "ws").dropDuplicates(["sig"]).persist()
     try:
         n_sets, n_vocab = dsets.select(
@@ -428,7 +436,7 @@ def jaccard_pairs_scalable(
     # (high-cardinality, deterministic) so the verify runs at the
     # configured parallelism (same fix as decontaminate_fuzzy)
     cands = cands.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        4 * df.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
     )
     if shingle is None:
         set_col = F.filter(
