@@ -367,7 +367,17 @@ def jaccard_pairs(
     set_pairs = id_map.select("set_id").repartition(
         max(1, spark.sparkContext.defaultParallelism)
     ).mapInPandas(run, schema=pair_schema)
-    a, b = doc_sets.alias("a"), doc_sets.alias("b")
+    # A checkpointed relation reports no size estimate, so the planner
+    # always sort-merge-joins the re-expansion — shuffling the (large)
+    # set-pair stream twice. The mapping is two longs per input doc:
+    # when the doc count (cheap — the blocks are materialized by the
+    # guard job above) fits a sane broadcast budget, hint it so both
+    # expansion joins pipeline into the kernel's stage with no
+    # exchange at all; past the gate the sort-merge plan stands.
+    ds = doc_sets
+    if docs.count() <= 4_000_000:
+        ds = F.broadcast(doc_sets)
+    a, b = ds.alias("a"), ds.alias("b")
     return (
         set_pairs.join(a, F.col("set_a") == F.col("a.set_id"))
         .join(b, F.col("set_b") == F.col("b.set_id"))
